@@ -98,7 +98,7 @@ def test_time_reversibility(cfg):
     flipped = MDState(r=fwd.r, ru=fwd.ru, v=-fwd.v, a=fwd.a)
     back, _ = jax.jit(lambda s: run_scan(s, step_fn, 200))(flipped)
     # Compare wrapped positions modulo the box
-    d = np.asarray(back.r - state.r)
+    d = np.array(back.r - state.r)
     L = cfg.box_length
     d -= L * np.round(d / L)
     np.testing.assert_allclose(d, 0.0, atol=1e-8)
@@ -141,7 +141,7 @@ def test_single_step_matches_hand_integration(cfg):
     state, force_fn = make_equilibrated_state(cfg)
     new, obs = velocity_verlet_step(state, force_fn, cfg.dt, cfg.box_length)
     # position update (before wrap): r + v dt + a dt^2/2
-    expect_r = np.asarray(state.r + state.v * cfg.dt + state.a * (0.5 * cfg.dt**2))
+    expect_r = np.array(state.r + state.v * cfg.dt + state.a * (0.5 * cfg.dt**2))
     L = cfg.box_length
     expect_r -= L * np.floor(expect_r / L)
     np.testing.assert_allclose(np.asarray(new.r), expect_r, atol=1e-12)

@@ -154,11 +154,15 @@ def test_force_is_minus_grad_potential():
 
 
 def test_forces_sum_to_zero():
+    # Physical configuration (jittered lattice, no overlaps): Newton's 3rd
+    # law must make the total force vanish to round-off.
     cfg = SimConfig(dtype="float64")
     rng = np.random.default_rng(7)
-    r = jnp.asarray(rng.uniform(0, cfg.box_length, size=(cfg.n, 3)))
-    res = lj_from_config(r, cfg)
-    np.testing.assert_allclose(np.asarray(res.a.sum(axis=0)), 0.0, atol=1e-8)
+    r = np.asarray(fcc_lattice(cfg.num_cells, cfg.box_length, dtype=jnp.float64))
+    r = (r + rng.normal(scale=0.05, size=r.shape)) % cfg.box_length
+    res = lj_from_config(jnp.asarray(r), cfg)
+    fmax = float(jnp.abs(res.a).max())
+    np.testing.assert_allclose(np.asarray(res.a.sum(axis=0)), 0.0, atol=1e-10 * max(fmax, 1.0))
 
 
 def test_fcc_lattice_structure():
