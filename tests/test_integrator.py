@@ -124,7 +124,9 @@ def test_unwrapped_tracks_true_displacement(cfg):
         * (L / 4.0),
         dtype=jnp.float64,
     )
-    v = jnp.asarray(np.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0], [-1.0, 0, 0]]))
+    # Same velocity for all particles: relative distances are constant, so
+    # they never come within rc of each other.
+    v = jnp.asarray(np.tile([1.0, 0.7, -0.3], (4, 1)))
     state = MDState(r=r, ru=r, v=v, a=jnp.zeros_like(r))
     force_fn = make_force_fn(iso, "dense")
     state, _ = init_forces(state, force_fn)
