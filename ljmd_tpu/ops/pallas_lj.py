@@ -1,0 +1,229 @@
+"""Tiled Pallas TPU kernel for the dense LJ force/energy/virial sweep.
+
+This is the TPU-native replacement for the reference's O(N^2) i<j pair loop
+(``scripts/physics/lj_potential_energy.f90:109-183``). Design (SURVEY §7
+"Hard parts"): the triangular loop with Newton's-3rd-law scatter does not
+vectorize, so the kernel sweeps the FULL N x N pair matrix in (TI, TJ) tiles
+that stream through VMEM — the MD analogue of blockwise attention over the
+pair matrix — and reduces each i-tile over all j-tiles.
+
+Layout: positions enter as an (8, N) row matrix (rows 0..2 = x, y, z; rows
+3..7 zero padding to the f32 sublane minimum), so per-component pair tiles
+(TI, TJ) have the lane dimension along j — ideal VPU shapes. The kernel
+output is an (8, N) row matrix: rows 0..2 = fx, fy, fz (prefactor 24 NOT yet
+applied), row 3 = per-particle energy partial e_i = sum_j (r^-12 - r^-6),
+row 4 = per-particle d_epot partial, row 5 = per-particle dd_epot partial.
+Scalar totals are O(N) reductions outside the kernel (done in f64 on the
+host side of the jit for accumulation accuracy), where the 4/24 prefactors,
+the 1/2 double-count factor, and tail corrections are restored —
+mirroring the reference's restore-prefactors-after-the-loop strategy
+(lj_potential_energy.f90:188-223).
+
+Grid: (N/TI, N/TJ) with j innermost; the output block index depends only on
+i, so Mosaic keeps the i-tile accumulator resident in VMEM across the whole
+j sweep (initialized at j == 0). Masking handles self-pairs and the padding
+to tile multiples via global indices, not sentinel coordinates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ljmd_tpu.config import SimConfig
+from ljmd_tpu.ops.lj import LJResult, tail_corrections
+
+__all__ = ["lj_force_energy_pallas", "make_pallas_force_fn"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _lj_tile_kernel(
+    pos_i_ref,  # (8, TI) VMEM: rows 0..2 = x,y,z of the i tile
+    pos_j_ref,  # (8, TJ) VMEM: rows 0..2 = x,y,z of the j tile
+    out_ref,    # (8, TI) VMEM accumulator: fx,fy,fz,e_i,du_i,ddu_i,_,_
+    *,
+    box_length: float,
+    inv_box_length: float,
+    rc_square: float,
+    n: int,
+    tile_i: int,
+    tile_j: int,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    # Per-component pair displacement tiles (TI, TJ), minimum image.
+    xi = pos_i_ref[0, :].reshape(tile_i, 1)
+    yi = pos_i_ref[1, :].reshape(tile_i, 1)
+    zi = pos_i_ref[2, :].reshape(tile_i, 1)
+    xj = pos_j_ref[0, :].reshape(1, tile_j)
+    yj = pos_j_ref[1, :].reshape(1, tile_j)
+    zj = pos_j_ref[2, :].reshape(1, tile_j)
+
+    L = box_length
+    inv_l = inv_box_length
+    dx = xi - xj
+    dy = yi - yj
+    dz = zi - zj
+    dx = dx - L * jnp.round(dx * inv_l)
+    dy = dy - L * jnp.round(dy * inv_l)
+    dz = dz - L * jnp.round(dz * inv_l)
+    r2 = dx * dx + dy * dy + dz * dz
+
+    # Global indices for self-pair and padding masks.
+    gi = i * tile_i + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
+    gj = j * tile_j + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
+    mask = (r2 < rc_square) & (gi != gj) & (gj < n)
+
+    one = jnp.asarray(1.0, r2.dtype)
+    r2_safe = jnp.where(mask, r2, one)
+    inv_r2 = jnp.where(mask, one / r2_safe, 0.0)
+    inv_r6 = inv_r2 * inv_r2 * inv_r2
+    inv_r12 = inv_r6 * inv_r6
+
+    e = inv_r12 - inv_r6                     # U/4 per pair (0 when masked)
+    du = inv_r6 - 2.0 * inv_r12              # (r dU/dr)/24 per pair
+    ddu = 26.0 * inv_r12 - 7.0 * inv_r6      # (r^2 d2U/dr2)/24 per pair
+    coef = -du * inv_r2                      # force/(24 dr) per pair
+
+    fx = jnp.sum(coef * dx, axis=1)
+    fy = jnp.sum(coef * dy, axis=1)
+    fz = jnp.sum(coef * dz, axis=1)
+
+    out_ref[0, :] += fx
+    out_ref[1, :] += fy
+    out_ref[2, :] += fz
+    out_ref[3, :] += jnp.sum(e, axis=1)
+    out_ref[4, :] += jnp.sum(du, axis=1)
+    out_ref[5, :] += jnp.sum(ddu, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "box_length",
+        "rc_square",
+        "use_tail_corrections",
+        "volume",
+        "rc",
+        "tile_i",
+        "tile_j",
+        "interpret",
+        "sum_dtype",
+    ),
+)
+def lj_force_energy_pallas(
+    r: jax.Array,
+    box_length: float,
+    rc_square: float,
+    use_tail_corrections: bool = True,
+    volume: float | None = None,
+    rc: float | None = None,
+    tile_i: int = 256,
+    tile_j: int = 512,
+    interpret: bool = False,
+    sum_dtype=jnp.float64,
+) -> LJResult:
+    """Drop-in replacement for ``lj_force_energy_dense`` backed by the tiled
+    Pallas kernel. ``r`` is (N, 3); any float dtype (computed in its dtype,
+    scalar totals reduced in ``sum_dtype`` when x64 is enabled)."""
+    n = r.shape[0]
+    dtype = r.dtype
+
+    n_pad = _round_up(n, max(tile_i, tile_j))
+    # (8, n_pad) row matrix; padded columns are masked by index in-kernel.
+    pos = jnp.zeros((8, n_pad), dtype=dtype)
+    pos = pos.at[0:3, :n].set(r.T)
+
+    grid = (n_pad // tile_i, n_pad // tile_j)
+    kernel = functools.partial(
+        _lj_tile_kernel,
+        box_length=float(box_length),
+        inv_box_length=1.0 / float(box_length),
+        rc_square=float(rc_square),
+        n=n,
+        tile_i=tile_i,
+        tile_j=tile_j,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, tile_i), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, tile_i), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(40 * n_pad * n_pad),
+            bytes_accessed=int(4 * 8 * n_pad * (grid[0] + grid[1] + 1)),
+            transcendentals=0,
+        ),
+    )(pos, pos)
+
+    out = out[:, :n]
+    a = 24.0 * out[0:3, :].T.astype(dtype)
+
+    # Scalar totals: accumulate in sum_dtype (f64 when enabled) — the f32
+    # per-particle partials lose little, but the O(N) total benefits.
+    acc = out[3:6, :].astype(sum_dtype if jax.config.jax_enable_x64 else dtype)
+    epot = 2.0 * jnp.sum(acc[0])    # 4 * (1/2): full-matrix double counts
+    d_epot = 12.0 * jnp.sum(acc[1])
+    dd_epot = 12.0 * jnp.sum(acc[2])
+
+    if use_tail_corrections:
+        if volume is None or rc is None:
+            raise ValueError("tail corrections require volume and rc")
+        e_t, d_t, dd_t = tail_corrections(n, volume, rc)
+        epot = epot + e_t
+        d_epot = d_epot + d_t
+        dd_epot = dd_epot + dd_t
+
+    return LJResult(
+        a=a,
+        epot=epot.astype(dtype),
+        d_epot=d_epot.astype(dtype),
+        dd_epot=dd_epot.astype(dtype),
+    )
+
+
+def make_pallas_force_fn(cfg: SimConfig, interpret: bool | None = None):
+    """Force function bound to a config. ``interpret`` defaults to True off
+    TPU so the same tests exercise the kernel everywhere (SURVEY §5.2:
+    interpreter-mode tests vs the dense implementation)."""
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except Exception:  # pragma: no cover
+            interpret = True
+
+    # Tile sizes: shrink for small N so tiny systems still run.
+    tile_i = 256 if cfg.n >= 256 else 8
+    tile_j = 512 if cfg.n >= 512 else 128
+
+    def force(r: jax.Array) -> LJResult:
+        return lj_force_energy_pallas(
+            r,
+            box_length=cfg.box_length,
+            rc_square=cfg.rc_square,
+            use_tail_corrections=cfg.use_tail_corrections,
+            volume=cfg.volume,
+            rc=cfg.rc,
+            tile_i=tile_i,
+            tile_j=tile_j,
+            interpret=interpret,
+        )
+
+    return force

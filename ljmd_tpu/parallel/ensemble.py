@@ -1,0 +1,109 @@
+"""Ensemble mode: vmapped independent replicas, optionally sharded over a
+device mesh, with cross-run aggregation.
+
+Rebuild of the reference's WIP run-many subsystem
+(``scripts/run_many_md_simuations/``): the serial do-loop over runs
+(run_many_md.f90:57-82) becomes ``vmap`` over a replica axis with split
+threefry keys (fixing the reference's global RNG stream, SURVEY §2.3.7); the
+disconnected ``simulation_results`` aggregator (which read a means.txt no
+component produced — pipeline gap, SURVEY §3.4) becomes an in-memory
+reduction over the replica axis, closed by construction. Per-replica
+coefficient algebra uses the CANONICAL formulas, not the WIP's drifted ones
+(SURVEY §2.3.3).
+
+On a mesh, replica keys are placed with a ``replica``-axis sharding and XLA
+partitions the embarrassingly-parallel batch; the final cross-run mean/std is
+the only collective (SURVEY §5.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ljmd_tpu.config import SimConfig
+from ljmd_tpu.models.simulation import SimResult, initialize, run_production
+from ljmd_tpu.parallel.mesh import REPLICA_AXIS
+from ljmd_tpu.stats.moments import OBSERVABLES
+from ljmd_tpu.stats.thermo import ThermoCoefs, thermo_coefs_from_report
+
+__all__ = ["EnsembleResult", "ensemble_simulate", "ensemble_aggregate"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EnsembleResult:
+    """Batched per-replica results + cross-run aggregates.
+
+    replica_means / replica_stds: (R, 11) per-replica time-average means/stds
+    (ordered as stats.moments.OBSERVABLES). mean_of_means / std_of_means:
+    (11,) cross-run statistics (the simulation_results.txt content). thermo:
+    ThermoCoefs with (R,)-shaped fields (per replica).
+    """
+
+    replica_means: jax.Array
+    replica_stds: jax.Array
+    mean_of_means: jax.Array
+    std_of_means: jax.Array
+    thermo: ThermoCoefs
+    series: jax.Array  # (R, 5, n_samples)
+
+    def named_cross_run(self) -> dict:
+        return {
+            name: (self.mean_of_means[i], self.std_of_means[i])
+            for i, name in enumerate(OBSERVABLES)
+        }
+
+
+def ensemble_simulate(
+    cfg: SimConfig,
+    n_replicas: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    mesh: Optional[Mesh] = None,
+    backend: str = "auto",
+    jit: bool = True,
+) -> EnsembleResult:
+    """Run ``n_replicas`` independent simulations (default cfg.n_runs) and
+    aggregate. Each replica gets its own threefry key; results are
+    bit-identical to running replicas sequentially (vmap semantics)."""
+    r = cfg.n_runs if n_replicas is None else n_replicas
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    keys = jax.random.split(key, r)
+
+    def one(k) -> SimResult:
+        state = initialize(cfg, k, backend=backend)
+        return run_production(cfg, state, backend=backend, record_frames=False)
+
+    def batched(ks) -> EnsembleResult:
+        results = jax.vmap(one)(ks)
+        return ensemble_aggregate(cfg, results)
+
+    if mesh is not None:
+        keys = jax.device_put(keys, NamedSharding(mesh, P(REPLICA_AXIS, None)))
+        return jax.jit(batched)(keys)
+    if jit:
+        return jax.jit(batched)(keys)
+    return batched(keys)
+
+
+def ensemble_aggregate(cfg: SimConfig, results: SimResult) -> EnsembleResult:
+    """Cross-run reduction over the leading replica axis of a vmapped
+    SimResult (the simulation_results aggregation as one collective)."""
+    means = results.means.means  # (R, 11)
+    stds = results.means.stds
+    # Per-replica thermodynamic coefficients: the algebra is elementwise, so
+    # it maps over the batched MeansReport directly.
+    thermo = thermo_coefs_from_report(cfg.n, cfg.volume, results.means)
+    return EnsembleResult(
+        replica_means=means,
+        replica_stds=stds,
+        mean_of_means=jnp.mean(means, axis=0),
+        std_of_means=jnp.std(means, axis=0),
+        thermo=thermo,
+        series=results.series,
+    )
