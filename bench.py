@@ -1,0 +1,119 @@
+"""Benchmark: particle-steps/sec/chip for the flagship N=4000 LJ fluid.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+The reference publishes no timing numbers (SURVEY §6); ``vs_baseline`` is
+therefore reported against the driver-supplied north-star target of
+1e9 particle-steps/sec/chip at N~4096 (BASELINE.json), i.e.
+vs_baseline = value / 1e9.
+
+Measures the fully-jitted production path: a lax.scan over velocity-Verlet
+steps with the Pallas tiled force kernel (auto backend -> Pallas on TPU),
+timed by fetching a data-dependent scalar (robust against async dispatch).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NORTH_STAR = 1.0e9  # particle-steps/sec/chip (BASELINE.json)
+
+
+def main() -> None:
+    from ljmd_tpu.config import config_from_density
+    from ljmd_tpu.models.forces import make_force_fn
+    from ljmd_tpu.models.integrators import init_forces, make_step_fn
+    from ljmd_tpu.models.lattice import (
+        fcc_lattice,
+        random_velocities,
+        remove_com_velocity,
+    )
+    from ljmd_tpu.state import MDState
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+
+    cfg = config_from_density(
+        num_cells=10 if on_tpu else 4,  # N = 4000 on TPU; N = 256 CPU smoke
+        density=0.8442,
+        dt=0.005,
+        dtype="float32",
+    )
+    backend = "pallas" if on_tpu else "dense"
+    n_steps = 2000 if on_tpu else 100
+
+    dtype = jnp.float32
+    r = fcc_lattice(cfg.num_cells, cfg.box_length, dtype=dtype)
+    v = remove_com_velocity(
+        random_velocities(jax.random.PRNGKey(0), cfg.n, dtype=dtype)
+    )
+    # scale to T* ~ 0.728 (the classic liquid point)
+    v = v * jnp.sqrt(0.728 / (jnp.sum(v * v) / (3 * cfg.n)))
+    state = MDState(r=r, ru=r, v=v, a=jnp.zeros_like(r))
+
+    force_fn = make_force_fn(cfg, backend)
+    state, _ = init_forces(state, force_fn)
+    step_fn = make_step_fn(force_fn, cfg.dt, cfg.box_length)
+
+    @jax.jit
+    def run(s):
+        def body(c, _):
+            return step_fn(c)[0], None
+
+        out, _ = jax.lax.scan(body, s, None, length=n_steps)
+        return out
+
+    def sync_scalar(s):
+        # data-dependent fetch: robust sync even where block_until_ready is
+        # unreliable (axon tunnel)
+        return float(jnp.sum(s.v[0]))
+
+    # warmup/compile + short equilibration
+    state = run(state)
+    _ = sync_scalar(state)
+
+    best = 0.0
+    e_first = e_last = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = run(state)
+        _ = sync_scalar(state)
+        dt_s = time.perf_counter() - t0
+        best = max(best, cfg.n * n_steps / dt_s)
+
+    # quick energy sanity on the final state
+    res = force_fn(state.r)
+    ekin = 0.5 * float(jnp.sum(state.v**2))
+    etot_per_n = (float(res.epot) + ekin) / cfg.n
+
+    result = {
+        "metric": f"particle-steps/sec/chip (LJ NVE, N={cfg.n}, rho*=0.8442, rc=2.5, f32, {backend})",
+        "value": best,
+        "unit": "particle-steps/s",
+        "vs_baseline": best / NORTH_STAR,
+        "platform": platform,
+        "n": cfg.n,
+        "steps_timed": n_steps,
+        "etot_per_particle": etot_per_n,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # surface failures as a JSON line too
+        print(json.dumps({
+            "metric": "particle-steps/sec/chip",
+            "value": 0.0,
+            "unit": "particle-steps/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }))
+        sys.exit(1)

@@ -87,16 +87,8 @@ def shard_state(state: MDState, mesh: Mesh) -> MDState:
     )
 
 
-def make_spatial_step_fn(cfg: SimConfig, mesh: Mesh, axis: str = PARTICLE_AXIS):
-    """A velocity-Verlet step over particle shards via shard_map.
-
-    State arrays are sharded (N/d, 3) per device; the force evaluation
-    all-gathers positions over ICI and psums the scalar observables, which
-    come back replicated. cfg.n must be divisible by the axis size.
-    """
-    n_shards = mesh.shape[axis]
-    if cfg.n % n_shards != 0:
-        raise ValueError(f"N={cfg.n} not divisible by particle-axis size {n_shards}")
+def _make_local_step(cfg: SimConfig, axis: str):
+    """The shard-local velocity-Verlet step body (one particle shard)."""
     dtype = jnp.dtype(cfg.dtype)
     dt = cfg.dt
     half_dt = 0.5 * cfg.dt
@@ -131,10 +123,55 @@ def make_spatial_step_fn(cfg: SimConfig, mesh: Mesh, axis: str = PARTICLE_AXIS):
         new_state = MDState(r=r_new, ru=ru_new, v=v_new, a=a_new)
         return new_state, StepObs(epot=epot, ekin=ekin, d_epot=d_epot, dd_epot=dd_epot)
 
+    return step_local
+
+
+def make_spatial_step_fn(cfg: SimConfig, mesh: Mesh, axis: str = PARTICLE_AXIS):
+    """A velocity-Verlet step over particle shards via shard_map.
+
+    State arrays are sharded (N/d, 3) per device; the force evaluation
+    all-gathers positions over ICI and psums the scalar observables, which
+    come back replicated. cfg.n must be divisible by the axis size.
+    """
+    n_shards = mesh.shape[axis]
+    if cfg.n % n_shards != 0:
+        raise ValueError(f"N={cfg.n} not divisible by particle-axis size {n_shards}")
+
+    step_local = _make_local_step(cfg, axis)
     spec = spatial_state_specs()
     return shard_map(
         step_local,
         mesh=mesh,
         in_specs=(spec,),
         out_specs=(spec, StepObs(P(), P(), P(), P())),
+    )
+
+
+def make_ensemble_spatial_step_fn(cfg: SimConfig, mesh: Mesh, axis: str = PARTICLE_AXIS):
+    """Combined replica x particle sharding: batched MDState arrays
+    (R, N, 3) sharded P(replica, particle, None); one velocity-Verlet step
+    for every replica. Observables come back per replica, shape (R,).
+
+    This is the full multi-chip production step: ensemble data-parallelism
+    over the replica axis, spatial parallelism over the particle axis, all
+    collectives (all_gather/psum) riding the mesh.
+    """
+    from ljmd_tpu.parallel.mesh import REPLICA_AXIS
+
+    n_shards = mesh.shape[axis]
+    if cfg.n % n_shards != 0:
+        raise ValueError(f"N={cfg.n} not divisible by particle-axis size {n_shards}")
+
+    single_step = _make_local_step(cfg, axis)
+
+    def step_local(state: MDState):
+        return jax.vmap(single_step)(state)
+
+    spec = MDState(*(P(REPLICA_AXIS, axis, None),) * 4)
+    obs_spec = StepObs(*(P(REPLICA_AXIS),) * 4)
+    return shard_map(
+        step_local,
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=(spec, obs_spec),
     )
