@@ -1,0 +1,108 @@
+"""Checkpoint / resume.
+
+The reference's only checkpoint is the init snapshot ``rv_init.dat`` at the
+warmup->production boundary; a crashed 500k-step production run restarts from
+scratch (SURVEY §5.4). The rebuild keeps that contract (``save_rv_init`` /
+``load_rv_init`` below write the SAME binary format as the Fortran code, so
+either implementation can resume from the other's init snapshot) and adds
+full periodic production checkpoints: positions (wrapped + unwrapped),
+velocities, accelerations, RNG key, step count, and the streaming means
+accumulator — everything needed to resume mid-production bit-exactly.
+
+Format: .npz (portable, no extra deps); orbax remains an option for
+multi-host async checkpointing later.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ljmd_tpu.state import MDState
+from ljmd_tpu.stats.moments import MeansAccum
+
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "save_rv_init",
+    "load_rv_init",
+    "Checkpoint",
+]
+
+
+@dataclasses.dataclass
+class Checkpoint:
+    state: MDState
+    step: int
+    key: Optional[jax.Array]
+    means: Optional[MeansAccum]
+    sample_count: int
+
+
+def save_checkpoint(
+    path: str,
+    state: MDState,
+    step: int,
+    key: Optional[jax.Array] = None,
+    means: Optional[MeansAccum] = None,
+) -> None:
+    arrays = {
+        "r": np.asarray(state.r),
+        "ru": np.asarray(state.ru),
+        "v": np.asarray(state.v),
+        "a": np.asarray(state.a),
+        "step": np.asarray(step, dtype=np.int64),
+    }
+    if key is not None:
+        arrays["key"] = np.asarray(jax.random.key_data(key))
+    if means is not None:
+        arrays["means_count"] = np.asarray(means.count)
+        arrays["means_moments"] = np.asarray(means.moments)
+    np.savez(path, **arrays)
+
+
+def load_checkpoint(path: str) -> Checkpoint:
+    with np.load(path) as z:
+        state = MDState(
+            r=jnp.asarray(z["r"]),
+            ru=jnp.asarray(z["ru"]),
+            v=jnp.asarray(z["v"]),
+            a=jnp.asarray(z["a"]),
+        )
+        step = int(z["step"])
+        key = None
+        if "key" in z:
+            key = jax.random.wrap_key_data(jnp.asarray(z["key"]))
+        means = None
+        count = 0
+        if "means_moments" in z:
+            means = MeansAccum(
+                count=jnp.asarray(z["means_count"]),
+                moments=jnp.asarray(z["means_moments"]),
+            )
+            count = int(z["means_count"])
+    return Checkpoint(state=state, step=step, key=key, means=means, sample_count=count)
+
+
+def save_rv_init(path: str, state: MDState) -> None:
+    """Write the warmup->production snapshot in the REFERENCE binary format
+    (positions record + velocities record, float64) so Fortran tooling can
+    read it."""
+    from ljmd_tpu.io.fortran_records import write_rv_init
+
+    write_rv_init(path, np.asarray(state.r, dtype=np.float64), np.asarray(state.v, dtype=np.float64))
+
+
+def load_rv_init(path: str, n: int, dtype=jnp.float32) -> MDState:
+    """Read a Fortran (or ours) rv_init.dat into an MDState, with ru = r and
+    zero accelerations — the caller must evaluate initial forces, as in the
+    reference (md_simulation_program.f90:221-236)."""
+    from ljmd_tpu.io.fortran_records import read_rv_init
+
+    r, v = read_rv_init(path, n)
+    r_j = jnp.asarray(r, dtype=dtype)
+    return MDState(r=r_j, ru=r_j, v=jnp.asarray(v, dtype=dtype), a=jnp.zeros_like(r_j))
