@@ -72,6 +72,10 @@ class SimConfig:
     corr_max_lag_cap: int = 1000
     corr_max_blocks: int = 5
     n_runs: int = 10
+    # Verlet neighbor lists (absent in the reference — SURVEY §5.7):
+    # skin beyond rc for the list radius; capacity 0 = auto-estimate.
+    neighbor_skin: float = 0.4
+    neighbor_capacity: int = 0
 
     # --- derived (filled in __post_init__; do not pass) ---
     n: int = dataclasses.field(init=False, default=0)
@@ -104,6 +108,10 @@ class SimConfig:
             raise ValueError("correlation caps must be >= 0")
         if self.n_runs <= 0:
             raise ValueError("n_runs must be > 0")
+        if self.neighbor_skin < 0.0:
+            raise ValueError("neighbor_skin must be >= 0")
+        if self.neighbor_capacity < 0:
+            raise ValueError("neighbor_capacity must be >= 0")
 
         n = 4 * self.num_cells**3  # N = 4 k^3 (read_input_files.f90:167-168)
         rc = self.rc_over_box * self.box_length

@@ -1,0 +1,141 @@
+"""Engine abstraction: a (carry, step) pair for the MD time loop.
+
+The dense/Pallas force backends are pure functions of positions, so their
+scan carry is just the MDState. The neighbor-list backend keeps a Verlet
+list in the carry and rebuilds it (inside ``lax.cond``) whenever a particle
+has moved more than skin/2 since the last build. The drivers
+(``models/simulation.py``) are written against this interface, so every
+backend gets the same sampling cadence, statistics, and artifacts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ljmd_tpu.config import SimConfig
+from ljmd_tpu.models.forces import make_force_fn
+from ljmd_tpu.models.integrators import velocity_verlet_step
+from ljmd_tpu.ops.geometry import minimum_image, wrap_positions
+from ljmd_tpu.ops.neighbor import (
+    NeighborList,
+    build_neighbor_list_dense,
+    estimate_capacity,
+    lj_force_energy_neighbor,
+    needs_rebuild,
+)
+from ljmd_tpu.state import MDState, StepObs, kinetic_energy
+
+__all__ = ["Engine", "make_engine"]
+
+
+class Engine(NamedTuple):
+    """init(state) -> (carry, obs at t=0); step(carry) -> (carry, obs);
+    get_state(carry) -> MDState; diagnostics(carry) -> dict of arrays."""
+
+    init: Callable[[MDState], tuple[Any, StepObs]]
+    step: Callable[[Any], tuple[Any, StepObs]]
+    get_state: Callable[[Any], MDState]
+    diagnostics: Callable[[Any], dict]
+
+
+def _force_engine(cfg: SimConfig, backend: str) -> Engine:
+    force_fn = make_force_fn(cfg, backend)
+
+    def init(state: MDState):
+        res = force_fn(state.r)
+        obs = StepObs(res.epot, kinetic_energy(state.v), res.d_epot, res.dd_epot)
+        return MDState(state.r, state.ru, state.v, res.a), obs
+
+    def step(carry: MDState):
+        return velocity_verlet_step(carry, force_fn, cfg.dt, cfg.box_length)
+
+    return Engine(init=init, step=step, get_state=lambda c: c, diagnostics=lambda c: {})
+
+
+def _neighbor_engine(cfg: SimConfig) -> Engine:
+    L = cfg.box_length
+    skin = cfg.neighbor_skin
+    r_list = cfg.rc + skin
+    if not r_list < 0.5 * L:
+        raise ValueError(
+            f"rc + skin = {r_list} must stay below L/2 = {0.5 * L} for MIC "
+            "(shrink neighbor_skin or use the dense backend)"
+        )
+    capacity = cfg.neighbor_capacity or estimate_capacity(cfg.density, r_list)
+    r_list_sq = r_list * r_list
+
+    def build(r):
+        return build_neighbor_list_dense(r, L, r_list_sq, capacity)
+
+    def force(r, nbrs):
+        return lj_force_energy_neighbor(
+            r,
+            nbrs.idx,
+            box_length=L,
+            rc_square=cfg.rc_square,
+            use_tail_corrections=cfg.use_tail_corrections,
+            volume=cfg.volume,
+            rc=cfg.rc,
+        )
+
+    def init(state: MDState):
+        nbrs = build(state.r)
+        res = force(state.r, nbrs)
+        obs = StepObs(res.epot, kinetic_energy(state.v), res.d_epot, res.dd_epot)
+        return (MDState(state.r, state.ru, state.v, res.a), nbrs), obs
+
+    def step(carry):
+        state, nbrs = carry
+        dtype = state.r.dtype
+        dt = jnp.asarray(cfg.dt, dtype)
+        half_dt = jnp.asarray(0.5 * cfg.dt, dtype)
+        half_dt_sq = jnp.asarray(0.5 * cfg.dt * cfg.dt, dtype)
+
+        r_new = wrap_positions(state.r + state.v * dt + state.a * half_dt_sq, L)
+        v_half = state.v + state.a * half_dt
+
+        sticky_overflow = nbrs.overflow
+        nbrs = lax.cond(
+            needs_rebuild(nbrs, r_new, L, skin),
+            lambda r: build(r),
+            lambda r: nbrs,
+            r_new,
+        )
+        nbrs = dataclasses.replace(nbrs, overflow=nbrs.overflow | sticky_overflow)
+
+        res = force(r_new, nbrs)
+        v_new = v_half + res.a * half_dt
+        ekin = kinetic_energy(v_new)
+        ru_new = state.ru + minimum_image(r_new - state.r, L)
+        new_state = MDState(r=r_new, ru=ru_new, v=v_new, a=res.a)
+        return (new_state, nbrs), StepObs(res.epot, ekin, res.d_epot, res.dd_epot)
+
+    return Engine(
+        init=init,
+        step=step,
+        get_state=lambda c: c[0],
+        diagnostics=lambda c: {"neighbor_overflow": c[1].overflow},
+    )
+
+
+def make_engine(cfg: SimConfig, backend: str = "auto") -> Engine:
+    if backend == "neighbor":
+        return _neighbor_engine(cfg)
+    if backend == "auto" and _prefer_neighbor(cfg):
+        return _neighbor_engine(cfg)
+    return _force_engine(cfg, backend)
+
+
+def _prefer_neighbor(cfg: SimConfig) -> bool:
+    """auto policy: neighbor lists pay off when the cutoff sphere is small
+    relative to the box (K << N) and the skin fits under L/2."""
+    r_list = cfg.rc + cfg.neighbor_skin
+    if not r_list < 0.5 * cfg.box_length:
+        return False
+    k_est = estimate_capacity(cfg.density, r_list)
+    return cfg.n >= 1024 and k_est < cfg.n // 8

@@ -56,9 +56,30 @@ def make_force_fn(cfg: SimConfig, backend: str = "auto") -> Callable[[jax.Array]
         return make_pallas_force_fn(cfg)
 
     if backend == "neighbor":
-        from ljmd_tpu.ops.neighbor import make_neighbor_force_fn
+        # Build-per-call neighbor force: correct but wasteful (the production
+        # path amortizes builds via the engine carry — models/engine.py).
+        from ljmd_tpu.ops.neighbor import (
+            build_neighbor_list_dense,
+            estimate_capacity,
+            lj_force_energy_neighbor,
+        )
 
-        return make_neighbor_force_fn(cfg)
+        r_list = cfg.rc + cfg.neighbor_skin
+        capacity = cfg.neighbor_capacity or estimate_capacity(cfg.density, r_list)
+
+        def neighbor_force(r: jax.Array) -> LJResult:
+            nbrs = build_neighbor_list_dense(r, cfg.box_length, r_list * r_list, capacity)
+            return lj_force_energy_neighbor(
+                r,
+                nbrs.idx,
+                box_length=cfg.box_length,
+                rc_square=cfg.rc_square,
+                use_tail_corrections=cfg.use_tail_corrections,
+                volume=cfg.volume,
+                rc=cfg.rc,
+            )
+
+        return neighbor_force
 
     # auto: Pallas on TPU when N is big enough to tile; otherwise dense.
     try:

@@ -35,8 +35,7 @@ import numpy as np
 from jax import lax
 
 from ljmd_tpu.config import SimConfig
-from ljmd_tpu.models.forces import make_force_fn
-from ljmd_tpu.models.integrators import init_forces, make_step_fn
+from ljmd_tpu.models.engine import Engine, make_engine
 from ljmd_tpu.models.lattice import (
     fcc_lattice,
     random_velocities,
@@ -98,6 +97,7 @@ class SimResult:
     corr_mean: jax.Array    # (5, max_lag+1) block-averaged ACF
     corr_mean_norm: jax.Array
     frames: Optional[Frames]
+    diagnostics: dict       # backend health flags (e.g. neighbor_overflow)
 
     def thermo(self, cfg: SimConfig) -> ThermoCoefs:
         return thermo_coefs_from_report(cfg.n, cfg.volume, self.means)
@@ -135,21 +135,19 @@ def _cadence(cfg: SimConfig):
 # ----------------------------------------------------------------------
 # Core scans
 # ----------------------------------------------------------------------
-def _advance(state: MDState, step_fn, n_steps: int) -> tuple[MDState, StepObs]:
-    """Advance n_steps (static), returning the final state and the
+def _advance(carry, step_fn, n_steps: int, dtype):
+    """Advance n_steps (static), returning the final carry and the
     observables of the LAST step (carried, not materialized per step)."""
+    dummy = StepObs(*(jnp.zeros((), dtype),) * 4)
     if n_steps == 0:
-        # Degenerate: evaluate observables at the current state.
-        zero = jnp.zeros((), state.r.dtype)
-        return state, StepObs(zero, zero, zero, zero)
+        return carry, dummy
 
-    def body(carry, _):
-        st, _ = carry
-        st2, ob = step_fn(st)
-        return (st2, ob), None
+    def body(c, _):
+        inner, _ = c
+        inner2, ob = step_fn(inner)
+        return (inner2, ob), None
 
-    dummy = StepObs(*(jnp.zeros((), state.r.dtype),) * 4)
-    (final, ob), _ = lax.scan(body, (state, dummy), None, length=n_steps)
+    (final, ob), _ = lax.scan(body, (carry, dummy), None, length=n_steps)
     return final, ob
 
 
@@ -172,16 +170,18 @@ def initialize(
     v = random_velocities(key, cfg.n, dtype=dtype)
     v = remove_com_velocity(v)
 
-    force_fn = make_force_fn(cfg, backend)
+    engine = make_engine(cfg, backend)
     state = MDState(r=r, ru=r, v=v, a=jnp.zeros_like(r))
-    state, obs = init_forces(state, force_fn)
+    carry, obs = engine.init(state)
+    state = engine.get_state(carry)
 
     v = rescale_to_target_energy(state.v, obs.epot, cfg.target_total_energy)
     state = MDState(r=state.r, ru=state.ru, v=v, a=state.a)
 
     if cfg.warmup_steps > 0:
-        step_fn = make_step_fn(force_fn, cfg.dt, cfg.box_length)
-        state, _ = _advance(state, step_fn, cfg.warmup_steps)
+        carry, _ = engine.init(state)
+        carry, _ = _advance(carry, engine.step, cfg.warmup_steps, dtype)
+        state = engine.get_state(carry)
     # Reset unwrapped coordinates: production starts its own MSD clock with
     # ru(0) = r(0) (md_simulation_program.f90:229-231).
     return MDState(r=state.r, ru=state.r, v=state.v, a=state.a)
@@ -197,8 +197,7 @@ def run_production(
 
     One jitted scan; all statistics accumulate on device.
     """
-    force_fn = make_force_fn(cfg, backend)
-    step_fn = make_step_fn(force_fn, cfg.dt, cfg.box_length)
+    engine = make_engine(cfg, backend)
     prologue, n_samples, epilogue = _cadence(cfg)
     if n_samples == 0:
         raise ValueError(
@@ -208,29 +207,32 @@ def run_production(
     dtype = jnp.dtype(cfg.dtype)
 
     # t=0 forces (md_simulation_program.f90:236)
-    state, _ = init_forces(state, force_fn)
+    ecarry, _ = engine.init(state)
 
     # Un-sampled steps up to the first sampling point.
     if prologue:
-        state, _ = _advance(state, step_fn, prologue)
+        ecarry, _ = _advance(ecarry, engine.step, prologue, dtype)
 
     means0 = means_init(dtype=dtype)
 
     def sample_body(carry, _):
-        st, acc = carry
-        st, ob = _advance(st, step_fn, cfg.output_interval)
+        ec, acc = carry
+        ec, ob = _advance(ec, engine.step, cfg.output_interval, dtype)
         acc = means_update(acc, ob, cfg.n, cfg.volume)
         temp, press = instantaneous_temp_press(ob, cfg.n, cfg.volume)
         series = jnp.stack([ob.epot, ob.ekin, ob.epot + ob.ekin, temp, press])
+        st = engine.get_state(ec)
         ys = (series, (st.r, st.ru, st.v, st.a)) if record_frames else (series, None)
-        return (st, acc), ys
+        return (ec, acc), ys
 
-    (state, acc), (series_t, frame_arrays) = lax.scan(
-        sample_body, (state, means0), None, length=n_samples
+    (ecarry, acc), (series_t, frame_arrays) = lax.scan(
+        sample_body, (ecarry, means0), None, length=n_samples
     )
 
     if epilogue:
-        state, _ = _advance(state, step_fn, epilogue)
+        ecarry, _ = _advance(ecarry, engine.step, epilogue, dtype)
+    state = engine.get_state(ecarry)
+    diagnostics = engine.diagnostics(ecarry)
 
     series = series_t.T  # (5, n_samples)
     report = means_finalize(acc)
@@ -265,6 +267,7 @@ def run_production(
         corr_mean=corr_mean,
         corr_mean_norm=corr_mean_norm,
         frames=frames,
+        diagnostics=diagnostics,
     )
 
 
