@@ -27,8 +27,7 @@ NORTH_STAR = 1.0e9  # particle-steps/sec/chip (BASELINE.json)
 
 def main() -> None:
     from ljmd_tpu.config import config_from_density
-    from ljmd_tpu.models.forces import make_force_fn
-    from ljmd_tpu.models.integrators import init_forces, make_step_fn
+    from ljmd_tpu.models.engine import make_engine
     from ljmd_tpu.models.lattice import (
         fcc_lattice,
         random_velocities,
@@ -57,40 +56,38 @@ def main() -> None:
     v = v * jnp.sqrt(0.728 / (jnp.sum(v * v) / (3 * cfg.n)))
     state = MDState(r=r, ru=r, v=v, a=jnp.zeros_like(r))
 
-    force_fn = make_force_fn(cfg, backend)
-    state, _ = init_forces(state, force_fn)
-    step_fn = make_step_fn(force_fn, cfg.dt, cfg.box_length)
+    engine = make_engine(cfg, backend)
+    carry, _ = engine.init(state)
 
     @jax.jit
-    def run(s):
-        def body(c, _):
-            return step_fn(c)[0], None
+    def run(c):
+        def body(cc, _):
+            cc2, ob = engine.step(cc)
+            return cc2, None
 
-        out, _ = jax.lax.scan(body, s, None, length=n_steps)
+        out, _ = jax.lax.scan(body, c, None, length=n_steps)
         return out
 
-    def sync_scalar(s):
+    def sync_scalar(c):
         # data-dependent fetch: robust sync even where block_until_ready is
         # unreliable (axon tunnel)
-        return float(jnp.sum(s.v[0]))
+        return float(jnp.sum(engine.get_state(c).v[0]))
 
     # warmup/compile + short equilibration
-    state = run(state)
-    _ = sync_scalar(state)
+    carry = run(carry)
+    _ = sync_scalar(carry)
 
     best = 0.0
-    e_first = e_last = None
     for _ in range(3):
         t0 = time.perf_counter()
-        state = run(state)
-        _ = sync_scalar(state)
+        carry = run(carry)
+        _ = sync_scalar(carry)
         dt_s = time.perf_counter() - t0
         best = max(best, cfg.n * n_steps / dt_s)
 
     # quick energy sanity on the final state
-    res = force_fn(state.r)
-    ekin = 0.5 * float(jnp.sum(state.v**2))
-    etot_per_n = (float(res.epot) + ekin) / cfg.n
+    _, obs = engine.step(carry)
+    etot_per_n = (float(obs.epot) + float(obs.ekin)) / cfg.n
 
     result = {
         "metric": f"particle-steps/sec/chip (LJ NVE, N={cfg.n}, rho*=0.8442, rc=2.5, f32, {backend})",

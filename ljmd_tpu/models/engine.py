@@ -21,6 +21,7 @@ from ljmd_tpu.config import SimConfig
 from ljmd_tpu.models.forces import make_force_fn
 from ljmd_tpu.models.integrators import velocity_verlet_step
 from ljmd_tpu.ops.geometry import minimum_image, wrap_positions
+from ljmd_tpu.ops.lj import tail_corrections
 from ljmd_tpu.ops.neighbor import (
     NeighborList,
     build_neighbor_list_dense,
@@ -123,11 +124,113 @@ def _neighbor_engine(cfg: SimConfig) -> Engine:
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RowCarry:
+    """Scan carry in TPU-native row layout: each field is (8, n_pad) with
+    x/y/z in rows 0..2, rows 3..7 and columns >= N kept identically zero."""
+
+    r: jax.Array
+    ru: jax.Array
+    v: jax.Array
+    a: jax.Array
+
+
+def _pallas_rows_engine(cfg: SimConfig, interpret: bool | None = None) -> Engine:
+    """Dense Pallas backend with a layout-native carry.
+
+    The (N, 3) <-> (8, n_pad) conversion (a transpose = full relayout on
+    TPU) happens only at init/get_state; every step is pure row-matrix
+    elementwise work + the tiled pair sweep. This removes the ~20x per-step
+    overhead the (N, 3) wrapper pays inside a scan.
+    """
+    from ljmd_tpu.ops.pallas_lj import _round_up, pallas_pair_sweep
+
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except Exception:  # pragma: no cover
+            interpret = True
+
+    n = cfg.n
+    tile_i = 256 if n >= 256 else 8
+    tile_j = 512 if n >= 512 else 128
+    n_pad = _round_up(n, max(tile_i, tile_j))
+    L = cfg.box_length
+    dtype = jnp.dtype(cfg.dtype)
+
+    e_t, d_t, dd_t = (
+        tail_corrections(n, cfg.volume, cfg.rc)
+        if cfg.use_tail_corrections
+        else (0.0, 0.0, 0.0)
+    )
+    # Zero force rows 3..7 (they carry e/du/ddu partials out of the kernel).
+    row_mask = jnp.zeros((8, 1), dtype).at[0:3].set(1.0)
+
+    def to_rows(x):  # (N, 3) -> (8, n_pad)
+        return jnp.zeros((8, n_pad), dtype).at[0:3, :n].set(x.T.astype(dtype))
+
+    def sweep(pos):
+        return pallas_pair_sweep(
+            pos, n, L, cfg.rc_square, tile_i=tile_i, tile_j=tile_j, interpret=interpret
+        )
+
+    def obs_from(out, ekin):
+        return StepObs(
+            epot=2.0 * jnp.sum(out[3]) + jnp.asarray(e_t, dtype),
+            ekin=ekin,
+            d_epot=12.0 * jnp.sum(out[4]) + jnp.asarray(d_t, dtype),
+            dd_epot=12.0 * jnp.sum(out[5]) + jnp.asarray(dd_t, dtype),
+        )
+
+    def init(state: MDState):
+        r8 = to_rows(state.r)
+        ru8 = to_rows(state.ru)
+        v8 = to_rows(state.v)
+        out = sweep(r8)
+        a8 = 24.0 * out * row_mask
+        ekin = 0.5 * jnp.sum(v8 * v8)
+        return RowCarry(r=r8, ru=ru8, v=v8, a=a8), obs_from(out, ekin)
+
+    dt = cfg.dt
+    half_dt = 0.5 * cfg.dt
+    half_dt_sq = 0.5 * cfg.dt * cfg.dt
+
+    def step(c: RowCarry):
+        r_new = wrap_positions(c.r + c.v * dt + c.a * half_dt_sq, L)
+        v_half = c.v + c.a * half_dt
+        out = sweep(r_new)
+        a_new = 24.0 * out * row_mask
+        v_new = v_half + a_new * half_dt
+        ekin = 0.5 * jnp.sum(v_new * v_new)
+        ru_new = c.ru + minimum_image(r_new - c.r, L)
+        return RowCarry(r=r_new, ru=ru_new, v=v_new, a=a_new), obs_from(out, ekin)
+
+    def get_state(c: RowCarry) -> MDState:
+        return MDState(
+            r=c.r[0:3, :n].T,
+            ru=c.ru[0:3, :n].T,
+            v=c.v[0:3, :n].T,
+            a=c.a[0:3, :n].T,
+        )
+
+    return Engine(init=init, step=step, get_state=get_state, diagnostics=lambda c: {})
+
+
 def make_engine(cfg: SimConfig, backend: str = "auto") -> Engine:
     if backend == "neighbor":
         return _neighbor_engine(cfg)
-    if backend == "auto" and _prefer_neighbor(cfg):
-        return _neighbor_engine(cfg)
+    if backend == "pallas":
+        return _pallas_rows_engine(cfg)
+    if backend == "auto":
+        if _prefer_neighbor(cfg):
+            return _neighbor_engine(cfg)
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        if on_tpu and cfg.n >= 512:
+            return _pallas_rows_engine(cfg)
     return _force_engine(cfg, backend)
 
 

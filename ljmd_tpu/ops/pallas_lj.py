@@ -84,7 +84,7 @@ def _lj_tile_kernel(
     # Global indices for self-pair and padding masks.
     gi = i * tile_i + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
     gj = j * tile_j + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
-    mask = (r2 < rc_square) & (gi != gj) & (gj < n)
+    mask = (r2 < rc_square) & (gi != gj) & (gj < n) & (gi < n)
 
     one = jnp.asarray(1.0, r2.dtype)
     r2_safe = jnp.where(mask, r2, one)
@@ -107,6 +107,53 @@ def _lj_tile_kernel(
     out_ref[3, :] += jnp.sum(e, axis=1)
     out_ref[4, :] += jnp.sum(du, axis=1)
     out_ref[5, :] += jnp.sum(ddu, axis=1)
+
+
+def pallas_pair_sweep(
+    pos: jax.Array,
+    n: int,
+    box_length: float,
+    rc_square: float,
+    tile_i: int = 256,
+    tile_j: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Raw tiled sweep on an (8, n_pad) row matrix (rows 0..2 = x,y,z).
+
+    Returns (8, n_pad): rows 0..2 = fx,fy,fz WITHOUT the 24 prefactor,
+    row 3 = per-particle e_i, row 4 = du_i, row 5 = ddu_i (see module doc).
+    Rows/columns for padded particle slots (index >= n) are exactly zero.
+    This is the layout-native entry used by the production engine so the
+    scan carry never changes layout; ``lj_force_energy_pallas`` wraps it for
+    the (N, 3) functional API.
+    """
+    n_pad = pos.shape[1]
+    grid = (n_pad // tile_i, n_pad // tile_j)
+    kernel = functools.partial(
+        _lj_tile_kernel,
+        box_length=float(box_length),
+        inv_box_length=1.0 / float(box_length),
+        rc_square=float(rc_square),
+        n=n,
+        tile_i=tile_i,
+        tile_j=tile_j,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, tile_i), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, tile_i), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), pos.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(40 * n_pad * n_pad),
+            bytes_accessed=int(4 * 8 * n_pad * (grid[0] + grid[1] + 1)),
+            transcendentals=0,
+        ),
+    )(pos, pos)
 
 
 @functools.partial(
@@ -142,36 +189,13 @@ def lj_force_energy_pallas(
     dtype = r.dtype
 
     n_pad = _round_up(n, max(tile_i, tile_j))
-    # (8, n_pad) row matrix; padded columns are masked by index in-kernel.
+    # (8, n_pad) row matrix; padded slots are masked by index in-kernel.
     pos = jnp.zeros((8, n_pad), dtype=dtype)
     pos = pos.at[0:3, :n].set(r.T)
 
-    grid = (n_pad // tile_i, n_pad // tile_j)
-    kernel = functools.partial(
-        _lj_tile_kernel,
-        box_length=float(box_length),
-        inv_box_length=1.0 / float(box_length),
-        rc_square=float(rc_square),
-        n=n,
-        tile_i=tile_i,
-        tile_j=tile_j,
+    out = pallas_pair_sweep(
+        pos, n, box_length, rc_square, tile_i=tile_i, tile_j=tile_j, interpret=interpret
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((8, tile_i), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, tile_i), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, n_pad), dtype),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=int(40 * n_pad * n_pad),
-            bytes_accessed=int(4 * 8 * n_pad * (grid[0] + grid[1] + 1)),
-            transcendentals=0,
-        ),
-    )(pos, pos)
 
     out = out[:, :n]
     a = 24.0 * out[0:3, :].T.astype(dtype)

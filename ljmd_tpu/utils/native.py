@@ -1,0 +1,156 @@
+"""ctypes loader for the native C++ runtime library (native/ljmd_native.cpp).
+
+Provides bulk ran3 generation and fast rva.dat trajectory IO. Every entry
+point has a pure-Python fallback (``utils/ran3.py``, ``io/fortran_records.py``)
+so the framework works without the compiled library; ``ensure_built`` can
+compile it on demand with the in-image g++ toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["load", "ensure_built", "available", "ran3_fill", "write_rva_native", "read_rva_native"]
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libljmd_native.so")
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def ensure_built(quiet: bool = True) -> bool:
+    """Compile the library if missing. Returns True when the .so exists."""
+    if os.path.exists(_LIB_PATH):
+        return True
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=quiet,
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+    return os.path.exists(_LIB_PATH)
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not ensure_built():
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        _load_failed = True
+        return None
+
+    lib.ljmd_ran3_fill.argtypes = [
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+    ]
+    lib.ljmd_ran3_fill.restype = ctypes.c_int
+
+    dbl_arr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+    lib.ljmd_write_rva.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int32, ctypes.c_int32, dbl_arr, dbl_arr, dbl_arr, dbl_arr,
+    ]
+    lib.ljmd_write_rva.restype = ctypes.c_int
+
+    lib.ljmd_read_rva_header.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.ljmd_read_rva_header.restype = ctypes.c_int
+
+    lib.ljmd_read_rva_frames.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64,
+        dbl_arr, dbl_arr, dbl_arr, dbl_arr,
+    ]
+    lib.ljmd_read_rva_frames.restype = ctypes.c_int
+
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def ran3_fill(seed: int, n: int) -> np.ndarray:
+    """Bulk uniform stream; bit-identical to utils.ran3.Ran3(seed)."""
+    lib = load()
+    out = np.empty(n, dtype=np.float64)
+    if lib is None:
+        from ljmd_tpu.utils.ran3 import Ran3
+
+        return Ran3(seed).uniform(n)
+    rc = lib.ljmd_ran3_fill(seed, out, n)
+    if rc != 0:
+        raise RuntimeError(f"ljmd_ran3_fill failed: {rc}")
+    return out
+
+
+def write_rva_native(path, box_length, dt, output_interval, r, ru, v, a) -> None:
+    """Native rva.dat writer; falls back to the Python codec."""
+    lib = load()
+    arrs = [np.ascontiguousarray(x, dtype=np.float64) for x in (r, ru, v, a)]
+    if lib is None:
+        from ljmd_tpu.io.fortran_records import write_rva
+
+        write_rva(path, box_length, dt, output_interval, *arrs)
+        return
+    n_frames, n = arrs[0].shape[0], arrs[0].shape[1]
+    rc = lib.ljmd_write_rva(
+        path.encode(), n, float(box_length), float(dt),
+        int(output_interval), n_frames, *arrs,
+    )
+    if rc != 0:
+        raise RuntimeError(f"ljmd_write_rva failed: {rc}")
+
+
+def read_rva_native(path: str):
+    """Native rva.dat reader; falls back to the Python codec. Returns the
+    same RVAData structure."""
+    from ljmd_tpu.io.fortran_records import RVAData, read_rva
+
+    lib = load()
+    if lib is None:
+        return read_rva(path)
+    n = ctypes.c_int32()
+    L = ctypes.c_double()
+    dt = ctypes.c_double()
+    interval = ctypes.c_int32()
+    n_hdr = ctypes.c_int32()
+    n_actual = ctypes.c_int64()
+    rc = lib.ljmd_read_rva_header(
+        path.encode(), ctypes.byref(n), ctypes.byref(L), ctypes.byref(dt),
+        ctypes.byref(interval), ctypes.byref(n_hdr), ctypes.byref(n_actual),
+    )
+    if rc != 0:
+        # mixed/8-byte markers etc.: let the Python codec handle it
+        return read_rva(path)
+    n_frames = int(n_actual.value)
+    shape = (n_frames, int(n.value), 3)
+    r = np.empty(shape)
+    ru = np.empty(shape)
+    v = np.empty(shape)
+    a = np.empty(shape)
+    rc = lib.ljmd_read_rva_frames(path.encode(), n.value, n_frames, r, ru, v, a)
+    if rc != 0:
+        return read_rva(path)
+    return RVAData(
+        n=int(n.value), box_length=L.value, dt=dt.value,
+        output_interval=int(interval.value), n_snapshots=n_frames,
+        r=r, ru=ru, v=v, a=a,
+    )

@@ -1,0 +1,92 @@
+"""CLI end-to-end: init-config -> simulate (from init) -> analyze -> ensemble
+on a tiny config (the run_all.sh pipeline equivalent)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ljmd_tpu.cli import main
+
+CFG_JSON = {
+    "num_cells": 2,
+    "box_length": 3.8,
+    "rc_over_box": 0.45,
+    "total_steps": 120,
+    "output_interval": 10,
+    "warmup_steps": 20,
+    "dt": 0.002,
+    "dtype": "float64",
+    "target_total_energy": -60.0,
+    "n_runs": 3,
+}
+
+
+@pytest.fixture(scope="module")
+def cfg_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    p = d / "cfg.json"
+    p.write_text(json.dumps(CFG_JSON))
+    return str(p)
+
+
+def test_cli_pipeline(cfg_file, tmp_path):
+    init_path = str(tmp_path / "rv_init.dat")
+    rc = main(["init-config", "--config", cfg_file, "--out", init_path, "--backend", "dense"])
+    assert rc == 0
+    assert os.path.exists(init_path)
+
+    run_dir = str(tmp_path / "one_run")
+    rc = main([
+        "simulate", "--config", cfg_file, "--out-dir", run_dir,
+        "--from-init", init_path, "--backend", "dense",
+    ])
+    assert rc == 0
+    for f in ("instantaneous_energies.dat", "corr_epot.dat", "corrmean_press.dat",
+              "md_final_results.txt", "summary.json", "rva.dat"):
+        assert os.path.exists(os.path.join(run_dir, f)), f
+
+    rc = main(["analyze", "--run-dir", run_dir])
+    assert rc == 0
+    with open(os.path.join(run_dir, "analysis_summary.json")) as f:
+        summary = json.load(f)
+    assert summary["n_samples"] == 10
+    assert "trajectory" in summary
+    assert np.isfinite(summary["trajectory"]["D_einstein"])
+    assert "tau_int" in summary["acf"]["epot"]
+    # plots rendered
+    plots = os.listdir(os.path.join(run_dir, "plots"))
+    assert any(p.startswith("timeseries_") for p in plots)
+    assert "rdf.png" in plots and "msd.png" in plots and "vacf.png" in plots
+
+
+def test_cli_reads_reference_format_config(tmp_path):
+    ref_cfg = tmp_path / "params.txt"
+    ref_cfg.write_text(
+        "# block 1\nk total_steps output_interval warmup_steps\n"
+        "2 60 10 10\n"
+        "# block 2\ndt L rc_over_L\n1.d-3 3.8 0.45d0\n"
+        "# block 3\ntarget_total_energy\n-60.d0\n"
+    )
+    out_dir = str(tmp_path / "run")
+    rc = main(["simulate", "--config", str(ref_cfg), "--out-dir", out_dir,
+               "--backend", "dense", "--no-frames"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out_dir, "summary.json"))
+    assert not os.path.exists(os.path.join(out_dir, "rva.dat"))
+
+
+def test_cli_ensemble(cfg_file, tmp_path):
+    out_dir = str(tmp_path / "ens")
+    rc = main(["ensemble", "--config", cfg_file, "--out-dir", out_dir,
+               "--n-runs", "3", "--backend", "dense"])
+    assert rc == 0
+    with open(os.path.join(out_dir, "simulation_results.json")) as f:
+        res = json.load(f)
+    assert res["n_runs"] == 3
+    assert "epot" in res["cross_run"]
+    assert len(res["thermo_per_run"]["Ca_v"]) == 3
+    means = np.loadtxt(os.path.join(out_dir, "means.txt"))
+    assert means.shape == (3, 11)
+    assert os.path.exists(os.path.join(out_dir, "simulation_results.txt"))

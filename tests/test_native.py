@@ -1,0 +1,56 @@
+"""Native C++ library: builds with the in-image toolchain and matches the
+pure-Python implementations bit-for-bit."""
+
+import numpy as np
+import pytest
+
+from ljmd_tpu.utils import native
+from ljmd_tpu.utils.ran3 import Ran3
+
+
+@pytest.fixture(scope="module")
+def lib():
+    if not native.ensure_built():
+        pytest.skip("native toolchain unavailable")
+    lib = native.load()
+    if lib is None:
+        pytest.skip("native library failed to load")
+    return lib
+
+
+def test_native_ran3_matches_python(lib):
+    for seed in (-12345, -1, 7, 999999):
+        got = native.ran3_fill(seed, 500)
+        want = Ran3(seed).uniform(500)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_native_rva_roundtrip(lib, tmp_path):
+    rng = np.random.default_rng(0)
+    n_snap, n = 4, 10
+    frames = {k: rng.normal(size=(n_snap, n, 3)) for k in ("r", "ru", "v", "a")}
+    p = str(tmp_path / "rva_native.dat")
+    native.write_rva_native(p, 7.25, 0.002, 50, frames["r"], frames["ru"], frames["v"], frames["a"])
+    data = native.read_rva_native(p)
+    assert data.n == n and data.n_snapshots == n_snap
+    assert data.box_length == pytest.approx(7.25)
+    for k in ("r", "ru", "v", "a"):
+        np.testing.assert_array_equal(getattr(data, k), frames[k])
+
+
+def test_native_file_readable_by_python_codec(lib, tmp_path):
+    from ljmd_tpu.io.fortran_records import read_rva, write_rva
+
+    rng = np.random.default_rng(1)
+    frames = {k: rng.normal(size=(3, 6, 3)) for k in ("r", "ru", "v", "a")}
+    p1 = str(tmp_path / "native.dat")
+    native.write_rva_native(p1, 5.0, 0.001, 10, frames["r"], frames["ru"], frames["v"], frames["a"])
+    d1 = read_rva(p1)  # python codec reads native-written file
+    np.testing.assert_array_equal(d1.v, frames["v"])
+
+    p2 = str(tmp_path / "python.dat")
+    write_rva(p2, 5.0, 0.001, 10, frames["r"], frames["ru"], frames["v"], frames["a"])
+    d2 = native.read_rva_native(p2)  # native codec reads python-written file
+    np.testing.assert_array_equal(d2.a, frames["a"])
+    # byte-identical outputs
+    assert open(p1, "rb").read() == open(p2, "rb").read()
