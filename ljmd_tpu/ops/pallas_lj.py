@@ -55,6 +55,7 @@ def _lj_tile_kernel(
     n: int,
     tile_i: int,
     tile_j: int,
+    approx_reciprocal: bool = False,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -88,7 +89,14 @@ def _lj_tile_kernel(
 
     one = jnp.asarray(1.0, r2.dtype)
     r2_safe = jnp.where(mask, r2, one)
-    inv_r2 = jnp.where(mask, one / r2_safe, 0.0)
+    if approx_reciprocal:
+        # Fast reciprocal + one Newton-Raphson step: ~f32 accuracy at a
+        # fraction of the divide latency on the VPU.
+        est = pl.reciprocal(r2_safe, approx=True)
+        recip = est * (2.0 - r2_safe * est)
+    else:
+        recip = one / r2_safe
+    inv_r2 = jnp.where(mask, recip, 0.0)
     inv_r6 = inv_r2 * inv_r2 * inv_r2
     inv_r12 = inv_r6 * inv_r6
 
@@ -114,9 +122,10 @@ def pallas_pair_sweep(
     n: int,
     box_length: float,
     rc_square: float,
-    tile_i: int = 256,
-    tile_j: int = 512,
+    tile_i: int = 128,
+    tile_j: int = 1024,
     interpret: bool = False,
+    approx_reciprocal: bool = False,
 ) -> jax.Array:
     """Raw tiled sweep on an (8, n_pad) row matrix (rows 0..2 = x,y,z).
 
@@ -137,6 +146,7 @@ def pallas_pair_sweep(
         n=n,
         tile_i=tile_i,
         tile_j=tile_j,
+        approx_reciprocal=approx_reciprocal and not interpret,
     )
     return pl.pallas_call(
         kernel,
@@ -177,8 +187,8 @@ def lj_force_energy_pallas(
     use_tail_corrections: bool = True,
     volume: float | None = None,
     rc: float | None = None,
-    tile_i: int = 256,
-    tile_j: int = 512,
+    tile_i: int = 128,
+    tile_j: int = 1024,
     interpret: bool = False,
     sum_dtype=jnp.float64,
 ) -> LJResult:
@@ -233,9 +243,9 @@ def make_pallas_force_fn(cfg: SimConfig, interpret: bool | None = None):
         except Exception:  # pragma: no cover
             interpret = True
 
-    # Tile sizes: shrink for small N so tiny systems still run.
-    tile_i = 256 if cfg.n >= 256 else 8
-    tile_j = 512 if cfg.n >= 512 else 128
+    # Tile sizes: best measured on v5e (TI=128, TJ=1024); shrink for tiny N.
+    tile_i = 128 if cfg.n >= 128 else 8
+    tile_j = 1024 if cfg.n >= 1024 else 128
 
     def force(r: jax.Array) -> LJResult:
         return lj_force_energy_pallas(
