@@ -1,0 +1,82 @@
+"""Incremental trajectory writer (the rva.dat streaming contract).
+
+The reference writes every sampled frame to disk immediately inside the MD
+loop (md_simulation_program.f90:384-387) — that is how it "streams" long
+trajectories. This writer reproduces that: an open rva.dat receiving frame
+records as sampled blocks arrive from device, so arbitrarily long runs never
+hold the trajectory in memory (SURVEY §5.7 time-axis scaling). The file is
+bit-compatible with the Fortran format and with ``io/fortran_records.read_rva``.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Optional
+
+import numpy as np
+
+from ljmd_tpu.io.fortran_records import _HEADER_FMT, _xyz_to_record, write_record
+
+__all__ = ["TrajectoryWriter"]
+
+
+class TrajectoryWriter:
+    """Append-oriented rva.dat writer.
+
+    The header's snapshot count is written up front (the reference computes
+    the expected count before the loop, md_simulation_program.f90:254) and
+    patched on close with the actual count, so truncated runs remain
+    readable.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        n: int,
+        box_length: float,
+        dt: float,
+        output_interval: int,
+        n_snapshots_expected: int,
+    ):
+        self.path = path
+        self.n = n
+        self._frames_written = 0
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._f = open(path, "wb")
+        self._header_args = (n, float(box_length), float(dt), int(output_interval))
+        write_record(
+            self._f,
+            struct.pack(_HEADER_FMT, *self._header_args, int(n_snapshots_expected)),
+        )
+
+    def append(self, r, ru, v, a) -> None:
+        """Append a block of frames; each array (n_frames, N, 3) or (N, 3)."""
+        arrs = [np.asarray(x, dtype=np.float64) for x in (r, ru, v, a)]
+        if arrs[0].ndim == 2:
+            arrs = [x[None] for x in arrs]
+        n_frames = arrs[0].shape[0]
+        for s in range(n_frames):
+            for frames in arrs:
+                write_record(self._f, _xyz_to_record(frames[s]))
+        self._frames_written += n_frames
+        self._f.flush()
+
+    @property
+    def frames_written(self) -> int:
+        return self._frames_written
+
+    def close(self) -> None:
+        if self._f.closed:
+            return
+        # Patch the header with the actual frame count.
+        self._f.flush()
+        self._f.seek(4)  # skip leading record marker
+        self._f.write(struct.pack(_HEADER_FMT, *self._header_args, self._frames_written))
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

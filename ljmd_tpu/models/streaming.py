@@ -1,0 +1,213 @@
+"""Chunked streaming production driver with mid-run checkpoint/resume.
+
+``run_production`` (models/simulation.py) keeps everything on device — ideal
+for small/medium runs. This driver targets long trajectories and large N
+(SURVEY §5.4: the reference has NO mid-production checkpointing — a crashed
+500k-step run restarts from rv_init; and §5.7: frames must stream, not
+accumulate): the sample loop is split into jitted chunks; after each chunk
+the sampled series/frames are fetched to host, frames append to an rva.dat
+via TrajectoryWriter, and a full checkpoint (state + RNG-free carry + means
+accumulator + series so far + sample index) lands on disk. A restarted run
+picks up from the last checkpoint bit-exactly (same chunk boundaries =>
+identical scan structure).
+
+Statistics finalization (correlations, block means, thermo) reuses the same
+post-processing as the in-memory driver.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ljmd_tpu.config import SimConfig
+from ljmd_tpu.io.trajectory import TrajectoryWriter
+from ljmd_tpu.models.engine import make_engine
+from ljmd_tpu.models.simulation import SimResult, _advance, _cadence, sample_steps
+from ljmd_tpu.state import MDState
+from ljmd_tpu.stats.correlations import autocorr_all, block_corr_means
+from ljmd_tpu.stats.moments import (
+    MeansAccum,
+    instantaneous_temp_press,
+    means_finalize,
+    means_init,
+    means_update,
+)
+
+__all__ = ["run_production_streaming"]
+
+
+def _checkpoint_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "production_checkpoint.npz")
+
+
+def _save(out_dir, state: MDState, acc: MeansAccum, series_done: np.ndarray, sample_idx: int):
+    np.savez(
+        _checkpoint_path(out_dir),
+        r=np.asarray(state.r),
+        ru=np.asarray(state.ru),
+        v=np.asarray(state.v),
+        a=np.asarray(state.a),
+        means_count=np.asarray(acc.count),
+        means_moments=np.asarray(acc.moments),
+        series=series_done,
+        sample_idx=np.asarray(sample_idx, dtype=np.int64),
+    )
+
+
+def _load(out_dir, dtype):
+    path = _checkpoint_path(out_dir)
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        state = MDState(
+            r=jnp.asarray(z["r"], dtype),
+            ru=jnp.asarray(z["ru"], dtype),
+            v=jnp.asarray(z["v"], dtype),
+            a=jnp.asarray(z["a"], dtype),
+        )
+        acc = MeansAccum(
+            count=jnp.asarray(z["means_count"]), moments=jnp.asarray(z["means_moments"])
+        )
+        return state, acc, z["series"].copy(), int(z["sample_idx"])
+
+
+def run_production_streaming(
+    cfg: SimConfig,
+    state: MDState,
+    out_dir: str,
+    backend: str = "auto",
+    chunk_samples: int = 64,
+    write_frames: bool = True,
+    resume: bool = True,
+) -> SimResult:
+    """Streaming production run. Artifacts land in ``out_dir`` incrementally:
+    rva.dat grows per chunk, production_checkpoint.npz is refreshed per chunk
+    (and removed on successful completion)."""
+    os.makedirs(out_dir, exist_ok=True)
+    engine = make_engine(cfg, backend)
+    prologue, n_samples, epilogue = _cadence(cfg)
+    if n_samples == 0:
+        raise ValueError("no samples would be taken")
+    dtype = jnp.dtype(cfg.dtype)
+
+    resumed = _load(out_dir, dtype) if resume else None
+    if resumed is not None:
+        state, acc, series_done, start_sample = resumed
+        ecarry, _ = engine.init(state)
+    else:
+        start_sample = 0
+        acc = means_init(dtype=dtype)
+        series_done = np.zeros((5, 0), dtype=np.float64)
+        ecarry, _ = engine.init(state)
+        if prologue:
+            ecarry, _ = _advance(ecarry, engine.step, prologue, dtype)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chunk(ec, acc, k: int):
+        def sample_body(carry, _):
+            ec_, acc_ = carry
+            ec_, ob = _advance(ec_, engine.step, cfg.output_interval, dtype)
+            acc_ = means_update(acc_, ob, cfg.n, cfg.volume)
+            temp, press = instantaneous_temp_press(ob, cfg.n, cfg.volume)
+            series = jnp.stack([ob.epot, ob.ekin, ob.epot + ob.ekin, temp, press])
+            st = engine.get_state(ec_)
+            return (ec_, acc_), (series, (st.r, st.ru, st.v, st.a))
+
+        (ec, acc), (series_t, frames) = lax.scan(sample_body, (ec, acc), None, length=k)
+        return ec, acc, series_t.T, frames
+
+    writer = None
+    if write_frames:
+        mode = "ab" if resumed is not None else "wb"
+        if resumed is None or not os.path.exists(os.path.join(out_dir, "rva.dat")):
+            writer = TrajectoryWriter(
+                os.path.join(out_dir, "rva.dat"), cfg.n, cfg.box_length, cfg.dt,
+                cfg.output_interval, n_samples,
+            )
+        else:
+            writer = _ReopenWriter(out_dir, cfg, n_samples, start_sample)
+
+    sample_idx = start_sample
+    try:
+        while sample_idx < n_samples:
+            k = min(chunk_samples, n_samples - sample_idx)
+            ecarry, acc, series_block, frames = chunk(ecarry, acc, k)
+            series_np = np.asarray(series_block, dtype=np.float64)
+            series_done = np.concatenate([series_done, series_np], axis=1)
+            if writer is not None:
+                writer.append(*[np.asarray(f) for f in frames])
+            sample_idx += k
+            _save(out_dir, engine.get_state(ecarry), acc, series_done, sample_idx)
+    finally:
+        if writer is not None:
+            writer.close()
+
+    if epilogue:
+        ecarry, _ = _advance(ecarry, engine.step, epilogue, dtype)
+    final_state = engine.get_state(ecarry)
+    diagnostics = engine.diagnostics(ecarry)
+
+    # Finalize statistics exactly like the in-memory driver.
+    series = jnp.asarray(series_done, dtype)
+    report = means_finalize(acc)
+    max_lag = cfg.corr_max_lag
+    n_blocks = cfg.corr_n_blocks(n_samples)
+    if max_lag >= 1:
+        corr, corr_norm = autocorr_all(series, max_lag, centered=True)
+    else:
+        corr = jnp.zeros((5, 1), dtype)
+        corr_norm = jnp.zeros((5, 1), dtype)
+    if n_blocks >= 1 and max_lag >= 1:
+        corr_mean, corr_mean_norm = jax.vmap(
+            partial(block_corr_means, n_blocks=n_blocks, max_lag=max_lag, centered=True)
+        )(series)
+    else:
+        corr_mean = jnp.zeros_like(corr)
+        corr_mean_norm = jnp.zeros_like(corr_norm)
+
+    steps = jnp.asarray(sample_steps(cfg), dtype)
+    result = SimResult(
+        final_state=final_state,
+        times=steps * jnp.asarray(cfg.dt, dtype),
+        series=series,
+        means=report,
+        corr=corr,
+        corr_norm=corr_norm,
+        corr_mean=corr_mean,
+        corr_mean_norm=corr_mean_norm,
+        frames=None,
+        diagnostics=diagnostics,
+    )
+    # success: the checkpoint is no longer needed
+    ckpt = _checkpoint_path(out_dir)
+    if os.path.exists(ckpt):
+        os.remove(ckpt)
+    return result
+
+
+class _ReopenWriter:
+    """Append to an existing (partially written) rva.dat on resume."""
+
+    def __init__(self, out_dir: str, cfg: SimConfig, n_samples: int, frames_present: int):
+        path = os.path.join(out_dir, "rva.dat")
+        self._writer = TrajectoryWriter.__new__(TrajectoryWriter)
+        self._writer.path = path
+        self._writer.n = cfg.n
+        self._writer._frames_written = frames_present
+        self._writer._header_args = (cfg.n, float(cfg.box_length), float(cfg.dt), int(cfg.output_interval))
+        self._writer._f = open(path, "r+b")
+        # position at end for appends
+        self._writer._f.seek(0, os.SEEK_END)
+
+    def append(self, *frames):
+        self._writer.append(*frames)
+
+    def close(self):
+        self._writer.close()
