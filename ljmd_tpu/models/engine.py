@@ -217,11 +217,169 @@ def _pallas_rows_engine(cfg: SimConfig, interpret: bool | None = None) -> Engine
     return Engine(init=init, step=step, get_state=get_state, diagnostics=lambda c: {})
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PencilCarry:
+    """Slot-layout carry for the structured large-N engine: each array is
+    (8, n_slots). Rows 0..2 = x/y/z; in ``r``, row 3 = slot validity (1/0)
+    and row 4 = particle id (identity survives rebin permutations — frames,
+    MSD, and get_state need it). ``r_ref`` holds positions at the last rebin
+    for the skin/2 displacement criterion; ``overflow`` is sticky."""
+
+    r: jax.Array
+    ru: jax.Array
+    v: jax.Array
+    a: jax.Array
+    r_ref: jax.Array
+    overflow: jax.Array
+
+
+def _cellpair_engine(cfg: SimConfig, interpret: bool | None = None) -> Engine:
+    """Structured pencil-sweep backend for large N (SURVEY §5.7): pair work
+    O(N * 9 * capacity) with purely block-structured memory access; rebinning
+    (an argsort + scatter) happens only when a particle moved more than
+    skin/2, under lax.cond."""
+    from ljmd_tpu.ops.cell_list import bin_to_slots, make_pencil_grid, rebin_slots
+    from ljmd_tpu.ops.pallas_pencil import TILE_I, build_tile_table, pallas_pencil_sweep
+
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except Exception:  # pragma: no cover
+            interpret = True
+
+    L = cfg.box_length
+    if L <= 1.0:
+        raise ValueError("cellpair engine requires L > 1 (aux-row wrap invariant)")
+    skin = cfg.neighbor_skin
+    r_list = cfg.rc + skin
+    grid = make_pencil_grid(cfg.n, L, r_list, cfg.density, cfg.neighbor_capacity)
+    tile_table = jnp.asarray(build_tile_table(grid))
+    n = cfg.n
+    ns = grid.n_slots
+    dtype = jnp.dtype(cfg.dtype)
+
+    e_t, d_t, dd_t = (
+        tail_corrections(n, cfg.volume, cfg.rc)
+        if cfg.use_tail_corrections
+        else (0.0, 0.0, 0.0)
+    )
+    row_mask = jnp.zeros((8, 1), dtype).at[0:3].set(1.0)   # keep only forces
+    xyz_mask = row_mask                                    # zero deltas on aux rows
+
+    def sweep(pos):
+        return pallas_pencil_sweep(
+            pos, tile_table, grid, cfg.rc_square, tile_i=TILE_I, interpret=interpret
+        )
+
+    def obs_from(out, ekin):
+        return StepObs(
+            epot=2.0 * jnp.sum(out[3]) + jnp.asarray(e_t, dtype),
+            ekin=ekin,
+            d_epot=12.0 * jnp.sum(out[4]) + jnp.asarray(d_t, dtype),
+            dd_epot=12.0 * jnp.sum(out[5]) + jnp.asarray(dd_t, dtype),
+        )
+
+    def _scatter_rows(arr_particles: jax.Array, slot: jax.Array) -> jax.Array:
+        out = jnp.zeros((8, ns + 1), dtype)
+        out = out.at[0:3, slot].set(arr_particles.T.astype(dtype))
+        return out[:, :ns]
+
+    def init(state: MDState):
+        slot, overflow = bin_to_slots(state.r, grid)
+        r8 = _scatter_rows(state.r, slot)
+        valid = jnp.zeros((ns + 1,), dtype).at[slot].set(1.0)[:ns]
+        ids = jnp.full((ns + 1,), 0.0, dtype).at[slot].set(
+            jnp.arange(n, dtype=dtype)
+        )[:ns]
+        r8 = r8.at[3, :].set(valid).at[4, :].set(ids)
+        ru8 = _scatter_rows(state.ru, slot)
+        v8 = _scatter_rows(state.v, slot)
+        out = sweep(r8)
+        a8 = 24.0 * out * row_mask
+        ekin = 0.5 * jnp.sum(v8 * v8)
+        carry = PencilCarry(r=r8, ru=ru8, v=v8, a=a8, r_ref=r8, overflow=overflow)
+        return carry, obs_from(out, ekin)
+
+    dt = cfg.dt
+    half_dt = 0.5 * cfg.dt
+    half_dt_sq = 0.5 * cfg.dt * cfg.dt
+    rebuild_thresh = (0.5 * skin) ** 2
+
+    def step(c: PencilCarry):
+        # Position update on xyz rows only (aux rows 3/4 of r stay intact).
+        delta = (c.v * dt + c.a * half_dt_sq) * xyz_mask
+        r_new = c.r.at[0:3].set(wrap_positions(c.r[0:3] + delta[0:3], L))
+        v_half = c.v + c.a * half_dt
+        # Unwrap BEFORE any rebin so both operands share slot ordering.
+        ru_new = c.ru + minimum_image((r_new - c.r) * xyz_mask, L)
+
+        d = minimum_image(r_new[0:3] - c.r_ref[0:3], L)
+        moved = jnp.max(jnp.sum(d * d, axis=0) * r_new[3]) > rebuild_thresh
+
+        def do_rebin(args):
+            r8, ru8, v8 = args
+            new_slot, overflow = rebin_slots(r8, r8[3, :], grid)
+
+            def permute(arr):
+                out = jnp.zeros((8, ns + 1), dtype)
+                out = out.at[:, new_slot].set(arr)
+                return out[:, :ns]
+
+            r8p = permute(r8)  # rows 3/4 (validity, ids) move with the slots
+            return r8p, permute(ru8), permute(v8), r8p, overflow
+
+        def no_rebin(args):
+            r8, ru8, v8 = args
+            return r8, ru8, v8, c.r_ref, jnp.asarray(False)
+
+        r_new, ru_new, v_half, r_ref, ovf = lax.cond(
+            moved, do_rebin, no_rebin, (r_new, ru_new, v_half)
+        )
+
+        out = sweep(r_new)
+        a_new = 24.0 * out * row_mask
+        v_new = v_half + a_new * half_dt
+        ekin = 0.5 * jnp.sum(v_new * v_new)
+        carry = PencilCarry(
+            r=r_new, ru=ru_new, v=v_new, a=a_new, r_ref=r_ref,
+            overflow=c.overflow | ovf,
+        )
+        return carry, obs_from(out, ekin)
+
+    def get_state(c: PencilCarry) -> MDState:
+        """Slot layout -> particle order via the id row."""
+        valid = c.r[3, :] > 0.5
+        ids = jnp.where(valid, c.r[4, :].astype(jnp.int32), n)
+
+        def gather(arr):
+            out = jnp.zeros((n + 1, 3), dtype)
+            out = out.at[ids].set(arr[0:3, :].T)
+            return out[:n]
+
+        return MDState(r=gather(c.r), ru=gather(c.ru), v=gather(c.v), a=gather(c.a))
+
+    return Engine(
+        init=init,
+        step=step,
+        get_state=get_state,
+        diagnostics=lambda c: {"pencil_overflow": c.overflow},
+    )
+
+
+def _cellpair_viable(cfg: SimConfig) -> bool:
+    import numpy as _np
+
+    return int(_np.floor(cfg.box_length / (cfg.rc + cfg.neighbor_skin))) >= 3
+
+
 def make_engine(cfg: SimConfig, backend: str = "auto") -> Engine:
     if backend == "neighbor":
         return _neighbor_engine(cfg)
     if backend == "pallas":
         return _pallas_rows_engine(cfg)
+    if backend == "cellpair":
+        return _cellpair_engine(cfg)
     if backend == "auto":
         try:
             on_tpu = jax.devices()[0].platform == "tpu"
@@ -230,9 +388,12 @@ def make_engine(cfg: SimConfig, backend: str = "auto") -> Engine:
         if on_tpu:
             # Measured on v5e: XLA's dynamic gathers make the jnp neighbor
             # path ~5x SLOWER than the dense Pallas sweep at N=4000, so on
-            # TPU the dense tiled kernel is the mid-N choice (the structured
-            # cell-pair kernel takes over at large N).
+            # TPU the dense tiled kernel is the mid-N choice and the
+            # structured pencil sweep takes over once the O(N * 9 * cap)
+            # work undercuts O(N^2).
             if cfg.n >= 512:
+                if cfg.n >= 8192 and _cellpair_viable(cfg):
+                    return _cellpair_engine(cfg)
                 return _pallas_rows_engine(cfg)
         elif _prefer_neighbor(cfg):
             # CPU path: O(N*K) gathers beat the O(N^2) sweep handily.

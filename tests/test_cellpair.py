@@ -1,0 +1,118 @@
+"""Pencil binning + structured cell-pair engine: binning invariants, force
+parity with the dense kernel, trajectory parity with rebinning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ljmd_tpu.config import config_from_density
+from ljmd_tpu.models.engine import _cellpair_engine, make_engine
+from ljmd_tpu.models.simulation import initialize, run_production
+from ljmd_tpu.ops.cell_list import bin_to_slots, make_pencil_grid, pencil_capacity
+from ljmd_tpu.ops.lj import lj_force_energy_dense
+
+
+def big_cfg(**kw):
+    # N=500, L=~9.1: 3x3 pencils of width >= 2.9
+    base = dict(
+        density=0.66, dt=0.002, dtype="float64", neighbor_skin=0.4,
+        total_steps=60, output_interval=10, warmup_steps=10,
+        target_total_energy=-2000.0,
+    )
+    base.update(kw)
+    return config_from_density(num_cells=5, **base)
+
+
+def test_pencil_grid_geometry():
+    grid = make_pencil_grid(n=500, box_length=9.1, r_list=2.9, density=0.66)
+    assert grid.m_xy == 3
+    assert grid.capacity % 128 == 0
+    tbl = grid.neighbor_table()
+    assert tbl.shape == (9, 9)
+    # each pencil's neighborhood contains itself and has no duplicates
+    for p in range(9):
+        assert p in tbl[p]
+        assert len(set(tbl[p].tolist())) == 9
+
+
+def test_pencil_grid_rejects_small_box():
+    with pytest.raises(ValueError):
+        make_pencil_grid(n=32, box_length=5.0, r_list=2.9, density=0.5)
+
+
+def test_bin_to_slots_invariants():
+    cfg = big_cfg()
+    grid = make_pencil_grid(cfg.n, cfg.box_length, cfg.rc + cfg.neighbor_skin, cfg.density)
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.uniform(0, cfg.box_length, (cfg.n, 3)))
+    slot, overflow = bin_to_slots(r, grid)
+    assert not bool(overflow)
+    slots = np.asarray(slot)
+    assert len(np.unique(slots)) == cfg.n  # injective
+    # every particle is in the pencil containing its (x, y)
+    w = grid.pencil_width
+    for i in range(0, cfg.n, 37):
+        p = slots[i] // grid.capacity
+        ix, iy = p // grid.m_xy, p % grid.m_xy
+        assert ix == min(int(r[i, 0] / w), grid.m_xy - 1)
+        assert iy == min(int(r[i, 1] / w), grid.m_xy - 1)
+
+
+def test_cellpair_init_force_parity():
+    cfg = big_cfg()
+    state = initialize(cfg, backend="dense")
+    eng = _cellpair_engine(cfg, interpret=True)
+    carry, obs = eng.init(state)
+    want = lj_force_energy_dense(
+        state.r, cfg.box_length, cfg.rc_square, True, cfg.volume, cfg.rc
+    )
+    assert float(obs.epot) == pytest.approx(float(want.epot), rel=1e-10)
+    assert float(obs.d_epot) == pytest.approx(float(want.d_epot), rel=1e-10)
+    assert float(obs.dd_epot) == pytest.approx(float(want.dd_epot), rel=1e-10)
+    got = eng.get_state(carry)
+    np.testing.assert_allclose(np.asarray(got.r), np.asarray(state.r), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.a), np.asarray(want.a), rtol=1e-9, atol=1e-9)
+    assert not bool(eng.diagnostics(carry)["pencil_overflow"])
+
+
+def test_cellpair_trajectory_matches_dense():
+    cfg = big_cfg(neighbor_skin=0.2)  # small skin -> forces several rebins
+    state = initialize(cfg, backend="dense")
+    out_d = run_production(cfg, state, backend="dense")
+    out_c = run_production(cfg, state, backend="cellpair", record_frames=True)
+    assert not bool(out_c.diagnostics["pencil_overflow"])
+    np.testing.assert_allclose(
+        np.asarray(out_c.series), np.asarray(out_d.series), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_c.final_state.r), np.asarray(out_d.final_state.r),
+        rtol=1e-9, atol=1e-10,
+    )
+    # frames preserve particle identity across rebins
+    np.testing.assert_allclose(
+        np.asarray(out_c.frames.ru[-1]), np.asarray(out_c.final_state.ru), rtol=1e-12
+    )
+
+
+def test_pencil_capacity_alignment():
+    cap = pencil_capacity(65536, 0.8442, 42.66, 14)
+    assert cap % 128 == 0
+    assert cap >= 65536 / 196
+
+
+def test_auto_backend_selects_cellpair_for_large_n(monkeypatch):
+    from ljmd_tpu.models import engine as E
+
+    cfg = config_from_density(num_cells=16, density=0.8442)  # N=16384
+    monkeypatch.setattr(
+        E.jax, "devices", lambda: [type("D", (), {"platform": "tpu"})()]
+    )
+    eng = E.make_engine(cfg, "auto")
+    # cellpair engines expose the pencil_overflow diagnostic
+    import jax.numpy as jnp
+
+    class FakeCarry:
+        overflow = jnp.asarray(False)
+
+    assert "pencil_overflow" in eng.diagnostics(FakeCarry())
