@@ -231,6 +231,7 @@ class PencilCarry:
     v: jax.Array
     a: jax.Array
     r_ref: jax.Array
+    counts: jax.Array
     overflow: jax.Array
 
 
@@ -267,9 +268,17 @@ def _cellpair_engine(cfg: SimConfig, interpret: bool | None = None) -> Engine:
     row_mask = jnp.zeros((8, 1), dtype).at[0:3].set(1.0)   # keep only forces
     xyz_mask = row_mask                                    # zero deltas on aux rows
 
-    def sweep(pos):
+    def sweep(pos, counts):
         return pallas_pencil_sweep(
-            pos, tile_table, grid, cfg.rc_square, tile_i=TILE_I, interpret=interpret
+            pos, tile_table, counts, grid, cfg.rc_square,
+            tile_i=TILE_I, interpret=interpret,
+        )
+
+    def _counts_from_valid(valid):
+        return (
+            valid.reshape(grid.n_pencils, grid.capacity)
+            .sum(axis=1)
+            .astype(jnp.int32)
         )
 
     def obs_from(out, ekin):
@@ -295,10 +304,13 @@ def _cellpair_engine(cfg: SimConfig, interpret: bool | None = None) -> Engine:
         r8 = r8.at[3, :].set(valid).at[4, :].set(ids)
         ru8 = _scatter_rows(state.ru, slot)
         v8 = _scatter_rows(state.v, slot)
-        out = sweep(r8)
+        counts = _counts_from_valid(valid)
+        out = sweep(r8, counts)
         a8 = 24.0 * out * row_mask
         ekin = 0.5 * jnp.sum(v8 * v8)
-        carry = PencilCarry(r=r8, ru=ru8, v=v8, a=a8, r_ref=r8, overflow=overflow)
+        carry = PencilCarry(
+            r=r8, ru=ru8, v=v8, a=a8, r_ref=r8, counts=counts, overflow=overflow
+        )
         return carry, obs_from(out, ekin)
 
     dt = cfg.dt
@@ -327,22 +339,22 @@ def _cellpair_engine(cfg: SimConfig, interpret: bool | None = None) -> Engine:
                 return out[:, :ns]
 
             r8p = permute(r8)  # rows 3/4 (validity, ids) move with the slots
-            return r8p, permute(ru8), permute(v8), r8p, overflow
+            return r8p, permute(ru8), permute(v8), r8p, _counts_from_valid(r8p[3, :]), overflow
 
         def no_rebin(args):
             r8, ru8, v8 = args
-            return r8, ru8, v8, c.r_ref, jnp.asarray(False)
+            return r8, ru8, v8, c.r_ref, c.counts, jnp.asarray(False)
 
-        r_new, ru_new, v_half, r_ref, ovf = lax.cond(
+        r_new, ru_new, v_half, r_ref, counts, ovf = lax.cond(
             moved, do_rebin, no_rebin, (r_new, ru_new, v_half)
         )
 
-        out = sweep(r_new)
+        out = sweep(r_new, counts)
         a_new = 24.0 * out * row_mask
         v_new = v_half + a_new * half_dt
         ekin = 0.5 * jnp.sum(v_new * v_new)
         carry = PencilCarry(
-            r=r_new, ru=ru_new, v=v_new, a=a_new, r_ref=r_ref,
+            r=r_new, ru=ru_new, v=v_new, a=a_new, r_ref=r_ref, counts=counts,
             overflow=c.overflow | ovf,
         )
         return carry, obs_from(out, ekin)
