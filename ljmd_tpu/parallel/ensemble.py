@@ -51,12 +51,17 @@ class EnsembleResult:
     std_of_means: jax.Array
     thermo: ThermoCoefs
     series: jax.Array  # (R, 5, n_samples)
+    replica_ok: jax.Array  # (R,) bool: replica produced finite means
 
     def named_cross_run(self) -> dict:
         return {
             name: (self.mean_of_means[i], self.std_of_means[i])
             for i, name in enumerate(OBSERVABLES)
         }
+
+    @property
+    def n_ok(self) -> jax.Array:
+        return jnp.sum(self.replica_ok)
 
 
 def ensemble_simulate(
@@ -96,14 +101,25 @@ def ensemble_aggregate(cfg: SimConfig, results: SimResult) -> EnsembleResult:
     SimResult (the simulation_results aggregation as one collective)."""
     means = results.means.means  # (R, 11)
     stds = results.means.stds
+    # Per-replica divergence masks (SURVEY §5.3): a replica whose means went
+    # non-finite (NVE blow-up, overlapping particles, ...) invalidates only
+    # itself — it is excluded from the cross-run statistics, exactly like the
+    # reference's skip-failed-runs aggregation (run_many_md.f90:76-80).
+    ok = jnp.isfinite(means).all(axis=1) & jnp.isfinite(stds).all(axis=1)
+    w = ok.astype(means.dtype)[:, None]
+    n_ok = jnp.maximum(jnp.sum(w), 1.0)
+    safe = jnp.where(jnp.isfinite(means), means, 0.0)
+    mean_of_means = jnp.sum(safe * w, axis=0) / n_ok
+    var = jnp.sum(((safe - mean_of_means) ** 2) * w, axis=0) / n_ok
     # Per-replica thermodynamic coefficients: the algebra is elementwise, so
     # it maps over the batched MeansReport directly.
     thermo = thermo_coefs_from_report(cfg.n, cfg.volume, results.means)
     return EnsembleResult(
         replica_means=means,
         replica_stds=stds,
-        mean_of_means=jnp.mean(means, axis=0),
-        std_of_means=jnp.std(means, axis=0),
+        mean_of_means=mean_of_means,
+        std_of_means=jnp.sqrt(var),
         thermo=thermo,
         series=results.series,
+        replica_ok=ok,
     )
