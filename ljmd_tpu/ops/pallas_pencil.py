@@ -1,22 +1,21 @@
 """Structured large-N Pallas kernel: pencil vs 9-neighbor-pencil sweep with
-occupancy-based tile skipping.
+occupancy-based compute skipping.
 
 Companion to ``ops/cell_list.py``. Positions live in pencil-slot layout as an
 (8, n_slots) row matrix — rows 0..2 = x, y, z, row 3 = slot validity (1/0),
 rows 4..7 auxiliary. Binning packs each pencil's particles into a dense rank
 prefix, so a pencil's occupied slots are exactly ranks [0, count).
 
-Grid: (n_i_tiles, 9 * tiles_per_pencil). The j block for (i, t) is the
-(t % tpp)-th 128-slot tile of the (t // tpp)-th xy-neighbor pencil of i's
-pencil, looked up from a scalar-prefetched int32 table (the
-PrefetchScalarGridSpec pattern). Two whole-tile skips kill padding work:
-
-- the i tile is empty (its start rank >= its pencil's count), or
-- the j tile is empty (its start rank >= the j pencil's count).
-
-Per-pencil counts arrive as a second scalar-prefetch operand (dynamic —
-recomputed at every rebin). Pair work is O(N * 9 * ceil(occupancy/128)*128)
-— the capacity roundoff no longer costs compute, only memory.
+Grid: (n_i_tiles, 9) — each 128-slot i-tile against the whole slot block of
+each of its 9 xy-neighbor pencils (scalar-prefetched index table; the
+PrefetchScalarGridSpec pattern). Keeping j-blocks pencil-sized keeps the
+program count low (per-program overhead dominated a finer-tiled variant);
+padding work is skipped INSIDE the kernel instead: a static Python loop over
+the pencil's 128-lane sub-slices, each guarded by ``@pl.when(rank < count)``
+with per-pencil counts prefetched (dynamic — recomputed at every rebin).
+Fully-empty i-tiles skip all compute. Pair work is therefore
+O(N * 9 * ceil(occupancy/128)*128): capacity roundoff costs memory and DMA,
+not FLOPs.
 
 Output layout matches ``pallas_pair_sweep``: rows 0..2 accumulate forces
 (without the 24 prefactor), rows 3..5 per-slot e/du/ddu partials; invalid
@@ -35,44 +34,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ljmd_tpu.ops.cell_list import PencilGrid
 
-__all__ = ["pallas_pencil_sweep", "build_tile_table", "TILE_I", "TILE_J"]
+__all__ = ["pallas_pencil_sweep", "build_tile_table", "TILE_I", "SUB_J"]
 
 TILE_I = 128
-TILE_J = 128
+SUB_J = 128  # in-kernel j sub-slice width
 
 
 def build_tile_table(grid: PencilGrid, tile_i: int = TILE_I) -> np.ndarray:
-    """Flat int32 table of j slot-block ids: entry [(i_tile * 9 + nb) * tpp + s]
-    = global 128-slot block id of the s-th tile of the nb-th neighbor pencil
-    of i_tile's pencil."""
+    """Flat (n_i_tiles * 9,) int32 table: j-pencil id for (i_tile, nb)."""
     if grid.capacity % tile_i != 0:
         raise ValueError("pencil capacity must be a multiple of tile_i")
-    tpp = grid.capacity // TILE_J  # j tiles per pencil
-    tiles_per_pencil_i = grid.capacity // tile_i
+    tiles_per_pencil = grid.capacity // tile_i
     nbr = grid.neighbor_table()  # (n_pencils, 9)
-    n_i_tiles = grid.n_pencils * tiles_per_pencil_i
-    tbl = np.empty((n_i_tiles, 9, tpp), dtype=np.int32)
+    n_i_tiles = grid.n_pencils * tiles_per_pencil
+    tbl = np.empty((n_i_tiles, 9), dtype=np.int32)
     for t in range(n_i_tiles):
-        for k in range(9):
-            p = nbr[t // tiles_per_pencil_i, k]
-            tbl[t, k] = p * tpp + np.arange(tpp)
+        tbl[t] = nbr[t // tiles_per_pencil]
     return tbl.reshape(-1)
 
 
 def _pencil_kernel(
-    tbl_ref,     # scalar-prefetch: flat j slot-block ids
+    tbl_ref,     # scalar-prefetch: (n_i_tiles*9,) int32 j-pencil ids
     counts_ref,  # scalar-prefetch: (n_pencils,) int32 occupancy
     pos_i_ref,   # (8, TILE_I)
-    pos_j_ref,   # (8, TILE_J)
+    pos_j_ref,   # (8, capacity) — the whole neighbor pencil
     out_ref,     # (8, TILE_I) accumulator
     *,
     box_length: float,
     inv_box_length: float,
     rc_square: float,
     tile_i: int,
-    tile_j: int,
     capacity: int,
-    n_j_steps: int,
 ):
     i = pl.program_id(0)
     t = pl.program_id(1)
@@ -81,58 +73,62 @@ def _pencil_kernel(
     def _init():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    tpp = capacity // tile_j
-    j_blk = tbl_ref[i * n_j_steps + t]
-    j_pencil = j_blk // tpp
-    j_rank0 = (j_blk % tpp) * tile_j
+    j_pencil = tbl_ref[i * 9 + t]
     i_pencil = (i * tile_i) // capacity
     i_rank0 = (i * tile_i) % capacity
+    count_j = counts_ref[j_pencil]
 
-    i_occupied = i_rank0 < counts_ref[i_pencil]
-    j_occupied = j_rank0 < counts_ref[j_pencil]
-
-    @pl.when(i_occupied & j_occupied)
-    def _compute():
+    @pl.when(i_rank0 < counts_ref[i_pencil])
+    def _tile():
         xi = pos_i_ref[0, :].reshape(tile_i, 1)
         yi = pos_i_ref[1, :].reshape(tile_i, 1)
         zi = pos_i_ref[2, :].reshape(tile_i, 1)
         vi = pos_i_ref[3, :].reshape(tile_i, 1)
-        xj = pos_j_ref[0, :].reshape(1, tile_j)
-        yj = pos_j_ref[1, :].reshape(1, tile_j)
-        zj = pos_j_ref[2, :].reshape(1, tile_j)
-        vj = pos_j_ref[3, :].reshape(1, tile_j)
-
+        gi = i * tile_i + jax.lax.broadcasted_iota(jnp.int32, (tile_i, SUB_J), 0)
         L = box_length
         inv_l = inv_box_length
-        dx = xi - xj
-        dy = yi - yj
-        dz = zi - zj
-        dx = dx - L * jnp.round(dx * inv_l)
-        dy = dy - L * jnp.round(dy * inv_l)
-        dz = dz - L * jnp.round(dz * inv_l)
-        r2 = dx * dx + dy * dy + dz * dz
 
-        gi = i * tile_i + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
-        gj = j_blk * tile_j + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
-        mask = (r2 < rc_square) & (gi != gj) & (vi * vj > 0.5)
+        for s in range(capacity // SUB_J):
+            @pl.when(s * SUB_J < count_j)
+            def _sub(s=s):
+                sl = slice(s * SUB_J, (s + 1) * SUB_J)
+                xj = pos_j_ref[0, sl].reshape(1, SUB_J)
+                yj = pos_j_ref[1, sl].reshape(1, SUB_J)
+                zj = pos_j_ref[2, sl].reshape(1, SUB_J)
+                vj = pos_j_ref[3, sl].reshape(1, SUB_J)
 
-        one = jnp.asarray(1.0, r2.dtype)
-        r2_safe = jnp.where(mask, r2, one)
-        inv_r2 = jnp.where(mask, one / r2_safe, 0.0)
-        inv_r6 = inv_r2 * inv_r2 * inv_r2
-        inv_r12 = inv_r6 * inv_r6
+                dx = xi - xj
+                dy = yi - yj
+                dz = zi - zj
+                dx = dx - L * jnp.round(dx * inv_l)
+                dy = dy - L * jnp.round(dy * inv_l)
+                dz = dz - L * jnp.round(dz * inv_l)
+                r2 = dx * dx + dy * dy + dz * dz
 
-        e = inv_r12 - inv_r6
-        du = inv_r6 - 2.0 * inv_r12
-        ddu = 26.0 * inv_r12 - 7.0 * inv_r6
-        coef = -du * inv_r2
+                gj = (
+                    j_pencil * capacity
+                    + s * SUB_J
+                    + jax.lax.broadcasted_iota(jnp.int32, (tile_i, SUB_J), 1)
+                )
+                mask = (r2 < rc_square) & (gi != gj) & (vi * vj > 0.5)
 
-        out_ref[0, :] += jnp.sum(coef * dx, axis=1)
-        out_ref[1, :] += jnp.sum(coef * dy, axis=1)
-        out_ref[2, :] += jnp.sum(coef * dz, axis=1)
-        out_ref[3, :] += jnp.sum(e, axis=1)
-        out_ref[4, :] += jnp.sum(du, axis=1)
-        out_ref[5, :] += jnp.sum(ddu, axis=1)
+                one = jnp.asarray(1.0, r2.dtype)
+                r2_safe = jnp.where(mask, r2, one)
+                inv_r2 = jnp.where(mask, one / r2_safe, 0.0)
+                inv_r6 = inv_r2 * inv_r2 * inv_r2
+                inv_r12 = inv_r6 * inv_r6
+
+                e = inv_r12 - inv_r6
+                du = inv_r6 - 2.0 * inv_r12
+                ddu = 26.0 * inv_r12 - 7.0 * inv_r6
+                coef = -du * inv_r2
+
+                out_ref[0, :] += jnp.sum(coef * dx, axis=1)
+                out_ref[1, :] += jnp.sum(coef * dy, axis=1)
+                out_ref[2, :] += jnp.sum(coef * dz, axis=1)
+                out_ref[3, :] += jnp.sum(e, axis=1)
+                out_ref[4, :] += jnp.sum(du, axis=1)
+                out_ref[5, :] += jnp.sum(ddu, axis=1)
 
 
 def pallas_pencil_sweep(
@@ -150,8 +146,7 @@ def pallas_pencil_sweep(
     """
     n_slots = grid.n_slots
     n_i_tiles = n_slots // tile_i
-    tpp = grid.capacity // TILE_J
-    n_j_steps = 9 * tpp
+    cap = grid.capacity
 
     kernel = functools.partial(
         _pencil_kernel,
@@ -159,16 +154,14 @@ def pallas_pencil_sweep(
         inv_box_length=1.0 / float(grid.box_length),
         rc_square=float(rc_square),
         tile_i=tile_i,
-        tile_j=TILE_J,
-        capacity=grid.capacity,
-        n_j_steps=n_j_steps,
+        capacity=cap,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_i_tiles, n_j_steps),
+        grid=(n_i_tiles, 9),
         in_specs=[
             pl.BlockSpec((8, tile_i), lambda i, t, tbl, cnt: (0, i)),
-            pl.BlockSpec((8, TILE_J), lambda i, t, tbl, cnt: (0, tbl[i * n_j_steps + t])),
+            pl.BlockSpec((8, cap), lambda i, t, tbl, cnt: (0, tbl[i * 9 + t])),
         ],
         out_specs=pl.BlockSpec((8, tile_i), lambda i, t, tbl, cnt: (0, i)),
     )
@@ -178,7 +171,7 @@ def pallas_pencil_sweep(
         out_shape=jax.ShapeDtypeStruct((8, n_slots), pos_slots.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=int(45 * n_slots * 9 * grid.capacity),
+            flops=int(45 * n_slots * 9 * cap),
             bytes_accessed=int(4 * 8 * n_slots * 10),
             transcendentals=0,
         ),
