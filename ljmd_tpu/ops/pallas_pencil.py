@@ -1,21 +1,20 @@
-"""Structured large-N Pallas kernel: pencil vs 9-neighbor-pencil sweep with
-occupancy-based compute skipping.
+"""Structured large-N Pallas kernel: one program per pencil.
 
 Companion to ``ops/cell_list.py``. Positions live in pencil-slot layout as an
 (8, n_slots) row matrix — rows 0..2 = x, y, z, row 3 = slot validity (1/0),
 rows 4..7 auxiliary. Binning packs each pencil's particles into a dense rank
 prefix, so a pencil's occupied slots are exactly ranks [0, count).
 
-Grid: (n_i_tiles, 9) — each 128-slot i-tile against the whole slot block of
-each of its 9 xy-neighbor pencils (scalar-prefetched index table; the
-PrefetchScalarGridSpec pattern). Keeping j-blocks pencil-sized keeps the
-program count low (per-program overhead dominated a finer-tiled variant);
-padding work is skipped INSIDE the kernel instead: a static Python loop over
-the pencil's 128-lane sub-slices, each guarded by ``@pl.when(rank < count)``
+Measured on v5e, per-program fixed cost is ~1us and short lanes waste VPU
+issue slots, so: grid = (n_pencils,) — ONE program per pencil — with the 9
+xy-neighbor pencils brought in as nine separate inputs whose block index
+maps read a scalar-prefetched neighbor table (the PrefetchScalarGridSpec
+pattern); the j side is swept at FULL pencil width (long lanes), while the
+i side iterates 128-slot sub-slices skipped via ``@pl.when(rank < count)``
 with per-pencil counts prefetched (dynamic — recomputed at every rebin).
-Fully-empty i-tiles skip all compute. Pair work is therefore
-O(N * 9 * ceil(occupancy/128)*128): capacity roundoff costs memory and DMA,
-not FLOPs.
+Sub-slice j skipping was measured slower than long-lane full sweeps
+(5.5e6 -> 7.8e6 particle-steps/s at N=62500), so padding on the j side
+costs masked lanes, and empty pencils are skipped whole.
 
 Output layout matches ``pallas_pair_sweep``: rows 0..2 accumulate forces
 (without the 24 prefactor), rows 3..5 per-slot e/du/ddu partials; invalid
@@ -34,101 +33,95 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ljmd_tpu.ops.cell_list import PencilGrid
 
-__all__ = ["pallas_pencil_sweep", "build_tile_table", "TILE_I", "SUB_J"]
+__all__ = ["pallas_pencil_sweep", "build_tile_table", "TILE_I"]
 
-TILE_I = 128
-SUB_J = 128  # in-kernel j sub-slice width
+TILE_I = 128  # i sub-slice width (sublane-facing)
 
 
 def build_tile_table(grid: PencilGrid, tile_i: int = TILE_I) -> np.ndarray:
-    """Flat (n_i_tiles * 9,) int32 table: j-pencil id for (i_tile, nb)."""
+    """Flat (n_pencils * 9,) int32 table: the k-th xy-neighbor pencil id of
+    pencil p at entry [p * 9 + k]."""
     if grid.capacity % tile_i != 0:
         raise ValueError("pencil capacity must be a multiple of tile_i")
-    tiles_per_pencil = grid.capacity // tile_i
-    nbr = grid.neighbor_table()  # (n_pencils, 9)
-    n_i_tiles = grid.n_pencils * tiles_per_pencil
-    tbl = np.empty((n_i_tiles, 9), dtype=np.int32)
-    for t in range(n_i_tiles):
-        tbl[t] = nbr[t // tiles_per_pencil]
-    return tbl.reshape(-1)
+    return grid.neighbor_table().astype(np.int32).reshape(-1)
 
 
 def _pencil_kernel(
-    tbl_ref,     # scalar-prefetch: (n_i_tiles*9,) int32 j-pencil ids
+    tbl_ref,     # scalar-prefetch: (n_pencils*9,) int32 neighbor pencil ids
     counts_ref,  # scalar-prefetch: (n_pencils,) int32 occupancy
-    pos_i_ref,   # (8, TILE_I)
-    pos_j_ref,   # (8, capacity) — the whole neighbor pencil
-    out_ref,     # (8, TILE_I) accumulator
-    *,
+    pos_i_ref,   # (8, capacity): this pencil
+    *refs,       # 9 x (8, capacity) neighbor pencils, then out_ref
     box_length: float,
     inv_box_length: float,
     rc_square: float,
-    tile_i: int,
     capacity: int,
 ):
-    i = pl.program_id(0)
-    t = pl.program_id(1)
+    nbr_refs = refs[:9]
+    out_ref = refs[9]
+    p = pl.program_id(0)
 
-    @pl.when(t == 0)
-    def _init():
-        out_ref[:, :] = jnp.zeros_like(out_ref)
+    out_ref[:, :] = jnp.zeros_like(out_ref)
+    count_i = counts_ref[p]
+    L = box_length
+    inv_l = inv_box_length
+    n_sub = capacity // TILE_I
 
-    j_pencil = tbl_ref[i * 9 + t]
-    i_pencil = (i * tile_i) // capacity
-    i_rank0 = (i * tile_i) % capacity
-    count_j = counts_ref[j_pencil]
+    for si in range(n_sub):
+        isl = slice(si * TILE_I, (si + 1) * TILE_I)
 
-    @pl.when(i_rank0 < counts_ref[i_pencil])
-    def _tile():
-        xi = pos_i_ref[0, :].reshape(tile_i, 1)
-        yi = pos_i_ref[1, :].reshape(tile_i, 1)
-        zi = pos_i_ref[2, :].reshape(tile_i, 1)
-        vi = pos_i_ref[3, :].reshape(tile_i, 1)
-        gi = i * tile_i + jax.lax.broadcasted_iota(jnp.int32, (tile_i, SUB_J), 0)
-        L = box_length
-        inv_l = inv_box_length
+        @pl.when(si * TILE_I < count_i)
+        def _i_slice(si=si, isl=isl):
+            xi = pos_i_ref[0, isl].reshape(TILE_I, 1)
+            yi = pos_i_ref[1, isl].reshape(TILE_I, 1)
+            zi = pos_i_ref[2, isl].reshape(TILE_I, 1)
+            vi = pos_i_ref[3, isl].reshape(TILE_I, 1)
+            gi = (
+                p * capacity
+                + si * TILE_I
+                + jax.lax.broadcasted_iota(jnp.int32, (TILE_I, capacity), 0)
+            )
 
-        for s in range(capacity // SUB_J):
-            @pl.when(s * SUB_J < count_j)
-            def _sub(s=s):
-                sl = slice(s * SUB_J, (s + 1) * SUB_J)
-                xj = pos_j_ref[0, sl].reshape(1, SUB_J)
-                yj = pos_j_ref[1, sl].reshape(1, SUB_J)
-                zj = pos_j_ref[2, sl].reshape(1, SUB_J)
-                vj = pos_j_ref[3, sl].reshape(1, SUB_J)
+            for k in range(9):
+                j_pencil = tbl_ref[p * 9 + k]
+                jref = nbr_refs[k]
 
-                dx = xi - xj
-                dy = yi - yj
-                dz = zi - zj
-                dx = dx - L * jnp.round(dx * inv_l)
-                dy = dy - L * jnp.round(dy * inv_l)
-                dz = dz - L * jnp.round(dz * inv_l)
-                r2 = dx * dx + dy * dy + dz * dz
+                @pl.when(counts_ref[j_pencil] > 0)
+                def _j_pencil(jref=jref, j_pencil=j_pencil):
+                    xj = jref[0, :].reshape(1, capacity)
+                    yj = jref[1, :].reshape(1, capacity)
+                    zj = jref[2, :].reshape(1, capacity)
+                    vj = jref[3, :].reshape(1, capacity)
 
-                gj = (
-                    j_pencil * capacity
-                    + s * SUB_J
-                    + jax.lax.broadcasted_iota(jnp.int32, (tile_i, SUB_J), 1)
-                )
-                mask = (r2 < rc_square) & (gi != gj) & (vi * vj > 0.5)
+                    dx = xi - xj
+                    dy = yi - yj
+                    dz = zi - zj
+                    dx = dx - L * jnp.round(dx * inv_l)
+                    dy = dy - L * jnp.round(dy * inv_l)
+                    dz = dz - L * jnp.round(dz * inv_l)
+                    r2 = dx * dx + dy * dy + dz * dz
 
-                one = jnp.asarray(1.0, r2.dtype)
-                r2_safe = jnp.where(mask, r2, one)
-                inv_r2 = jnp.where(mask, one / r2_safe, 0.0)
-                inv_r6 = inv_r2 * inv_r2 * inv_r2
-                inv_r12 = inv_r6 * inv_r6
+                    gj = j_pencil * capacity + jax.lax.broadcasted_iota(
+                        jnp.int32, (TILE_I, capacity), 1
+                    )
+                    mask = (r2 < rc_square) & (gi != gj) & (vi * vj > 0.5)
 
-                e = inv_r12 - inv_r6
-                du = inv_r6 - 2.0 * inv_r12
-                ddu = 26.0 * inv_r12 - 7.0 * inv_r6
-                coef = -du * inv_r2
+                    one = jnp.asarray(1.0, r2.dtype)
+                    r2_safe = jnp.where(mask, r2, one)
+                    inv_r2 = jnp.where(mask, one / r2_safe, 0.0)
+                    inv_r6 = inv_r2 * inv_r2 * inv_r2
+                    inv_r12 = inv_r6 * inv_r6
 
-                out_ref[0, :] += jnp.sum(coef * dx, axis=1)
-                out_ref[1, :] += jnp.sum(coef * dy, axis=1)
-                out_ref[2, :] += jnp.sum(coef * dz, axis=1)
-                out_ref[3, :] += jnp.sum(e, axis=1)
-                out_ref[4, :] += jnp.sum(du, axis=1)
-                out_ref[5, :] += jnp.sum(ddu, axis=1)
+                    e = inv_r12 - inv_r6
+                    du = inv_r6 - 2.0 * inv_r12
+                    ddu = 26.0 * inv_r12 - 7.0 * inv_r6
+                    coef = -du * inv_r2
+
+                    out_ref[0, isl] += jnp.sum(coef * dx, axis=1)
+                    out_ref[1, isl] += jnp.sum(coef * dy, axis=1)
+                    out_ref[2, isl] += jnp.sum(coef * dz, axis=1)
+                    out_ref[3, isl] += jnp.sum(e, axis=1)
+                    out_ref[4, isl] += jnp.sum(du, axis=1)
+                    out_ref[5, isl] += jnp.sum(ddu, axis=1)
 
 
 def pallas_pencil_sweep(
@@ -145,7 +138,6 @@ def pallas_pencil_sweep(
     ``counts``: (n_pencils,) int32 per-pencil occupancy (from the binning).
     """
     n_slots = grid.n_slots
-    n_i_tiles = n_slots // tile_i
     cap = grid.capacity
 
     kernel = functools.partial(
@@ -153,17 +145,18 @@ def pallas_pencil_sweep(
         box_length=float(grid.box_length),
         inv_box_length=1.0 / float(grid.box_length),
         rc_square=float(rc_square),
-        tile_i=tile_i,
         capacity=cap,
     )
+
+    def make_nbr_spec(k):
+        return pl.BlockSpec((8, cap), lambda p, tbl, cnt, k=k: (0, tbl[p * 9 + k]))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_i_tiles, 9),
-        in_specs=[
-            pl.BlockSpec((8, tile_i), lambda i, t, tbl, cnt: (0, i)),
-            pl.BlockSpec((8, cap), lambda i, t, tbl, cnt: (0, tbl[i * 9 + t])),
-        ],
-        out_specs=pl.BlockSpec((8, tile_i), lambda i, t, tbl, cnt: (0, i)),
+        grid=(grid.n_pencils,),
+        in_specs=[pl.BlockSpec((8, cap), lambda p, tbl, cnt: (0, p))]
+        + [make_nbr_spec(k) for k in range(9)],
+        out_specs=pl.BlockSpec((8, cap), lambda p, tbl, cnt: (0, p)),
     )
     return pl.pallas_call(
         kernel,
@@ -175,4 +168,4 @@ def pallas_pencil_sweep(
             bytes_accessed=int(4 * 8 * n_slots * 10),
             transcendentals=0,
         ),
-    )(tile_table, counts, pos_slots, pos_slots)
+    )(tile_table, counts, pos_slots, *([pos_slots] * 9))
