@@ -136,15 +136,24 @@ class RowCarry:
     a: jax.Array
 
 
-def _pallas_rows_engine(cfg: SimConfig, interpret: bool | None = None) -> Engine:
+def _pallas_rows_engine(
+    cfg: SimConfig, interpret: bool | None = None, triangular: bool = True
+) -> Engine:
     """Dense Pallas backend with a layout-native carry.
 
     The (N, 3) <-> (8, n_pad) conversion (a transpose = full relayout on
     TPU) happens only at init/get_state; every step is pure row-matrix
     elementwise work + the tiled pair sweep. This removes the ~20x per-step
     overhead the (N, 3) wrapper pays inside a scan.
+
+    ``triangular=True`` (default) evaluates each pair once with tile-level
+    Newton's-3rd-law reaction buffers, skipping sub-diagonal tiles.
     """
-    from ljmd_tpu.ops.pallas_lj import _round_up, pallas_pair_sweep
+    from ljmd_tpu.ops.pallas_lj import (
+        _round_up,
+        pallas_pair_sweep,
+        pallas_pair_sweep_tri,
+    )
 
     if interpret is None:
         try:
@@ -170,17 +179,26 @@ def _pallas_rows_engine(cfg: SimConfig, interpret: bool | None = None) -> Engine
     def to_rows(x):  # (N, 3) -> (8, n_pad)
         return jnp.zeros((8, n_pad), dtype).at[0:3, :n].set(x.T.astype(dtype))
 
+    # Triangular sweep counts each pair once (prefactors 4/24); the full
+    # sweep counts twice (2/12).
+    e_pref, d_pref = (4.0, 24.0) if triangular else (2.0, 12.0)
+
     def sweep(pos):
+        if triangular:
+            return pallas_pair_sweep_tri(
+                pos, n, L, cfg.rc_square, tile_i=tile_i, tile_j=tile_j,
+                interpret=interpret,
+            )
         return pallas_pair_sweep(
             pos, n, L, cfg.rc_square, tile_i=tile_i, tile_j=tile_j, interpret=interpret
         )
 
     def obs_from(out, ekin):
         return StepObs(
-            epot=2.0 * jnp.sum(out[3]) + jnp.asarray(e_t, dtype),
+            epot=e_pref * jnp.sum(out[3]) + jnp.asarray(e_t, dtype),
             ekin=ekin,
-            d_epot=12.0 * jnp.sum(out[4]) + jnp.asarray(d_t, dtype),
-            dd_epot=12.0 * jnp.sum(out[5]) + jnp.asarray(dd_t, dtype),
+            d_epot=d_pref * jnp.sum(out[4]) + jnp.asarray(d_t, dtype),
+            dd_epot=d_pref * jnp.sum(out[5]) + jnp.asarray(dd_t, dtype),
         )
 
     def init(state: MDState):

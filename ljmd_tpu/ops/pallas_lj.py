@@ -166,6 +166,135 @@ def pallas_pair_sweep(
     )(pos, pos)
 
 
+def _lj_tri_kernel(
+    pos_i_ref,  # (8, TI)
+    pos_j_ref,  # (8, TJ)
+    out1_ref,   # (8, TI): i-side accumulator (forces + e/du/ddu rows)
+    out2_ref,   # (1, 8, TJ): j-side force partials for THIS (i, j) program
+    *,
+    box_length: float,
+    inv_box_length: float,
+    rc_square: float,
+    n: int,
+    tile_i: int,
+    tile_j: int,
+):
+    """Triangular variant: each unordered pair is evaluated ONCE (mask
+    gj > gi); the reaction forces go to a per-(i,j) j-side buffer reduced
+    outside the kernel (Newton's 3rd law at tile granularity). Tiles wholly
+    below the diagonal are skipped."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out1_ref[:, :] = jnp.zeros_like(out1_ref)
+
+    # Tile contains some pair with gj > gi iff its max gj > its min gi.
+    compute = (j + 1) * tile_j - 1 > i * tile_i
+
+    @pl.when(jnp.logical_not(compute))
+    def _skip():
+        out2_ref[0, :, :] = jnp.zeros_like(out2_ref[0])
+
+    @pl.when(compute)
+    def _tile():
+        xi = pos_i_ref[0, :].reshape(tile_i, 1)
+        yi = pos_i_ref[1, :].reshape(tile_i, 1)
+        zi = pos_i_ref[2, :].reshape(tile_i, 1)
+        xj = pos_j_ref[0, :].reshape(1, tile_j)
+        yj = pos_j_ref[1, :].reshape(1, tile_j)
+        zj = pos_j_ref[2, :].reshape(1, tile_j)
+
+        L = box_length
+        inv_l = inv_box_length
+        dx = xi - xj
+        dy = yi - yj
+        dz = zi - zj
+        dx = dx - L * jnp.round(dx * inv_l)
+        dy = dy - L * jnp.round(dy * inv_l)
+        dz = dz - L * jnp.round(dz * inv_l)
+        r2 = dx * dx + dy * dy + dz * dz
+
+        gi = i * tile_i + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
+        gj = j * tile_j + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
+        mask = (r2 < rc_square) & (gj > gi) & (gj < n)
+
+        one = jnp.asarray(1.0, r2.dtype)
+        r2_safe = jnp.where(mask, r2, one)
+        inv_r2 = jnp.where(mask, one / r2_safe, 0.0)
+        inv_r6 = inv_r2 * inv_r2 * inv_r2
+        inv_r12 = inv_r6 * inv_r6
+
+        e = inv_r12 - inv_r6
+        du = inv_r6 - 2.0 * inv_r12
+        ddu = 26.0 * inv_r12 - 7.0 * inv_r6
+        coef = -du * inv_r2
+
+        fx = coef * dx
+        fy = coef * dy
+        fz = coef * dz
+        out1_ref[0, :] += jnp.sum(fx, axis=1)
+        out1_ref[1, :] += jnp.sum(fy, axis=1)
+        out1_ref[2, :] += jnp.sum(fz, axis=1)
+        out1_ref[3, :] += jnp.sum(e, axis=1)
+        out1_ref[4, :] += jnp.sum(du, axis=1)
+        out1_ref[5, :] += jnp.sum(ddu, axis=1)
+        # Reaction on b: -sum_a f_ab (column sums).
+        out2_ref[0, 0, :] = -jnp.sum(fx, axis=0)
+        out2_ref[0, 1, :] = -jnp.sum(fy, axis=0)
+        out2_ref[0, 2, :] = -jnp.sum(fz, axis=0)
+        out2_ref[0, 3:8, :] = jnp.zeros_like(out2_ref[0, 3:8, :])
+
+
+def pallas_pair_sweep_tri(
+    pos: jax.Array,
+    n: int,
+    box_length: float,
+    rc_square: float,
+    tile_i: int = 128,
+    tile_j: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Triangular counterpart of ``pallas_pair_sweep``. NOTE: scalar rows
+    3..5 hold per-pair-ONCE partials, so totals restore with prefactors
+    4 / 24 (no halving)."""
+    n_pad = pos.shape[1]
+    grid = (n_pad // tile_i, n_pad // tile_j)
+    kernel = functools.partial(
+        _lj_tri_kernel,
+        box_length=float(box_length),
+        inv_box_length=1.0 / float(box_length),
+        rc_square=float(rc_square),
+        n=n,
+        tile_i=tile_i,
+        tile_j=tile_j,
+    )
+    out1, out2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, tile_i), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, tile_i), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tile_j), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, n_pad), pos.dtype),
+            jax.ShapeDtypeStruct((grid[0], 8, n_pad), pos.dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(24 * n_pad * n_pad),
+            bytes_accessed=int(4 * 8 * n_pad * (grid[0] + grid[1] + 1 + grid[0])),
+            transcendentals=0,
+        ),
+    )(pos, pos)
+    return out1 + jnp.sum(out2, axis=0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
