@@ -418,13 +418,12 @@ def make_engine(cfg: SimConfig, backend: str = "auto") -> Engine:
         if on_tpu:
             # Measured on v5e: XLA's dynamic gathers make the jnp neighbor
             # path ~5x SLOWER than the dense Pallas sweep at N=4000, so on
-            # TPU the dense tiled kernel is the mid-N choice and the
+            # TPU the dense tiled kernel is the small/mid-N choice and the
             # structured pencil sweep takes over once the O(N * 9 * cap)
             # work undercuts O(N^2).
-            if cfg.n >= 512:
-                if cfg.n >= 8192 and _cellpair_viable(cfg):
-                    return _cellpair_engine(cfg)
-                return _pallas_rows_engine(cfg)
+            if cfg.n >= 8192 and _cellpair_viable(cfg):
+                return _cellpair_engine(cfg)
+            return _pallas_rows_engine(cfg)
         elif _prefer_neighbor(cfg):
             # CPU path: O(N*K) gathers beat the O(N^2) sweep handily.
             return _neighbor_engine(cfg)
