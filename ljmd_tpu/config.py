@@ -76,6 +76,10 @@ class SimConfig:
     # skin beyond rc for the list radius; capacity 0 = auto-estimate.
     neighbor_skin: float = 0.4
     neighbor_capacity: int = 0
+    # Kahan/Neumaier-compensated position & velocity updates: removes the
+    # f32 roundoff drift floor at small dt (reference runs use dt=1e-4) at
+    # ~zero cost relative to the force kernel. Ignored for float64.
+    compensated_sum: bool = False
 
     # --- derived (filled in __post_init__; do not pass) ---
     n: int = dataclasses.field(init=False, default=0)

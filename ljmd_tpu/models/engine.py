@@ -128,12 +128,28 @@ def _neighbor_engine(cfg: SimConfig) -> Engine:
 @dataclasses.dataclass(frozen=True)
 class RowCarry:
     """Scan carry in TPU-native row layout: each field is (8, n_pad) with
-    x/y/z in rows 0..2, rows 3..7 and columns >= N kept identically zero."""
+    x/y/z in rows 0..2, rows 3..7 and columns >= N kept identically zero.
+    ``rc``/``vc`` are Kahan compensation terms (zeros when compensation is
+    off)."""
 
     r: jax.Array
     ru: jax.Array
     v: jax.Array
     a: jax.Array
+    rc: jax.Array
+    vc: jax.Array
+
+
+def _comp_add(x: jax.Array, c: jax.Array, delta: jax.Array):
+    """Neumaier-compensated x += delta: returns (new_x, new_c) with c
+    accumulating the rounding error, so x + c tracks the exact sum."""
+    y = delta + c
+    t = x + y
+    # recovered low bits: (x - t) + y when |x| >= |y|; Neumaier's branchless
+    # variant picks the larger-magnitude operand.
+    big_x = jnp.abs(x) >= jnp.abs(y)
+    c_new = jnp.where(big_x, (x - t) + y, (y - t) + x)
+    return t, c_new
 
 
 def _pallas_rows_engine(
@@ -201,6 +217,8 @@ def _pallas_rows_engine(
             dd_epot=d_pref * jnp.sum(out[5]) + jnp.asarray(dd_t, dtype),
         )
 
+    compensated = cfg.compensated_sum and dtype == jnp.float32
+
     def init(state: MDState):
         r8 = to_rows(state.r)
         ru8 = to_rows(state.ru)
@@ -208,27 +226,46 @@ def _pallas_rows_engine(
         out = sweep(r8)
         a8 = 24.0 * out * row_mask
         ekin = 0.5 * jnp.sum(v8 * v8)
-        return RowCarry(r=r8, ru=ru8, v=v8, a=a8), obs_from(out, ekin)
+        zero = jnp.zeros_like(r8)
+        return (
+            RowCarry(r=r8, ru=ru8, v=v8, a=a8, rc=zero, vc=zero),
+            obs_from(out, ekin),
+        )
 
     dt = cfg.dt
     half_dt = 0.5 * cfg.dt
     half_dt_sq = 0.5 * cfg.dt * cfg.dt
 
     def step(c: RowCarry):
-        r_new = wrap_positions(c.r + c.v * dt + c.a * half_dt_sq, L)
-        v_half = c.v + c.a * half_dt
+        if compensated:
+            r_raw, rc_new = _comp_add(c.r, c.rc, c.v * dt + c.a * half_dt_sq)
+            r_new = wrap_positions(r_raw, L)
+            v_half, vc_half = _comp_add(c.v, c.vc, c.a * half_dt)
+        else:
+            r_new = wrap_positions(c.r + c.v * dt + c.a * half_dt_sq, L)
+            rc_new = c.rc
+            v_half, vc_half = c.v + c.a * half_dt, c.vc
         out = sweep(r_new)
         a_new = 24.0 * out * row_mask
-        v_new = v_half + a_new * half_dt
-        ekin = 0.5 * jnp.sum(v_new * v_new)
+        if compensated:
+            v_new, vc_new = _comp_add(v_half, vc_half, a_new * half_dt)
+            v_eff = v_new + vc_new
+        else:
+            v_new, vc_new = v_half + a_new * half_dt, vc_half
+            v_eff = v_new
+        ekin = 0.5 * jnp.sum(v_eff * v_eff)
         ru_new = c.ru + minimum_image(r_new - c.r, L)
-        return RowCarry(r=r_new, ru=ru_new, v=v_new, a=a_new), obs_from(out, ekin)
+        return (
+            RowCarry(r=r_new, ru=ru_new, v=v_new, a=a_new, rc=rc_new, vc=vc_new),
+            obs_from(out, ekin),
+        )
 
     def get_state(c: RowCarry) -> MDState:
+        v = c.v + c.vc if compensated else c.v
         return MDState(
             r=c.r[0:3, :n].T,
             ru=c.ru[0:3, :n].T,
-            v=c.v[0:3, :n].T,
+            v=v[0:3, :n].T,
             a=c.a[0:3, :n].T,
         )
 
