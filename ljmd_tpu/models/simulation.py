@@ -135,20 +135,29 @@ def _cadence(cfg: SimConfig):
 # ----------------------------------------------------------------------
 # Core scans
 # ----------------------------------------------------------------------
-def _advance(carry, step_fn, n_steps: int, dtype):
+def _advance(carry, step_fn, n_steps: int, dtype, fast_fn=None, want_obs=True):
     """Advance n_steps (static), returning the final carry and the
-    observables of the LAST step (carried, not materialized per step)."""
+    observables of the LAST step (carried, not materialized per step).
+
+    When the engine provides an observable-free fast step, the first
+    n_steps-1 steps use it (the reference only consumes observables at the
+    sampling step, md_simulation_program.f90:361); pass want_obs=False for
+    fully-unsampled stretches (prologue/epilogue/warmup)."""
     dummy = StepObs(*(jnp.zeros((), dtype),) * 4)
     if n_steps == 0:
         return carry, dummy
+    fast = fast_fn or step_fn
 
-    def body(c, _):
-        inner, _ = c
-        inner2, ob = step_fn(inner)
-        return (inner2, ob), None
+    def fast_body(c, _):
+        c2, _ob = fast(c)
+        return c2, None
 
-    (final, ob), _ = lax.scan(body, (carry, dummy), None, length=n_steps)
-    return final, ob
+    n_fast = n_steps if not want_obs else n_steps - 1
+    if n_fast > 0:
+        carry, _ = lax.scan(fast_body, carry, None, length=n_fast)
+    if not want_obs:
+        return carry, dummy
+    return step_fn(carry)
 
 
 def initialize(
@@ -180,7 +189,10 @@ def initialize(
 
     if cfg.warmup_steps > 0:
         carry, _ = engine.init(state)
-        carry, _ = _advance(carry, engine.step, cfg.warmup_steps, dtype)
+        carry, _ = _advance(
+            carry, engine.step, cfg.warmup_steps, dtype,
+            fast_fn=engine.step_fast, want_obs=False,
+        )
         state = engine.get_state(carry)
     # Reset unwrapped coordinates: production starts its own MSD clock with
     # ru(0) = r(0) (md_simulation_program.f90:229-231).
@@ -211,13 +223,18 @@ def run_production(
 
     # Un-sampled steps up to the first sampling point.
     if prologue:
-        ecarry, _ = _advance(ecarry, engine.step, prologue, dtype)
+        ecarry, _ = _advance(
+            ecarry, engine.step, prologue, dtype,
+            fast_fn=engine.step_fast, want_obs=False,
+        )
 
     means0 = means_init(dtype=dtype)
 
     def sample_body(carry, _):
         ec, acc = carry
-        ec, ob = _advance(ec, engine.step, cfg.output_interval, dtype)
+        ec, ob = _advance(
+            ec, engine.step, cfg.output_interval, dtype, fast_fn=engine.step_fast
+        )
         acc = means_update(acc, ob, cfg.n, cfg.volume)
         temp, press = instantaneous_temp_press(ob, cfg.n, cfg.volume)
         series = jnp.stack([ob.epot, ob.ekin, ob.epot + ob.ekin, temp, press])
@@ -230,7 +247,10 @@ def run_production(
     )
 
     if epilogue:
-        ecarry, _ = _advance(ecarry, engine.step, epilogue, dtype)
+        ecarry, _ = _advance(
+            ecarry, engine.step, epilogue, dtype,
+            fast_fn=engine.step_fast, want_obs=False,
+        )
     state = engine.get_state(ecarry)
     diagnostics = engine.diagnostics(ecarry)
 

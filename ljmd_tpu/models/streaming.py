@@ -107,13 +107,19 @@ def run_production_streaming(
         series_done = np.zeros((5, 0), dtype=np.float64)
         ecarry, _ = engine.init(state)
         if prologue:
-            ecarry, _ = _advance(ecarry, engine.step, prologue, dtype)
+            ecarry, _ = _advance(
+                ecarry, engine.step, prologue, dtype,
+                fast_fn=engine.step_fast, want_obs=False,
+            )
 
     @partial(jax.jit, static_argnames=("k",))
     def chunk(ec, acc, k: int):
         def sample_body(carry, _):
             ec_, acc_ = carry
-            ec_, ob = _advance(ec_, engine.step, cfg.output_interval, dtype)
+            ec_, ob = _advance(
+                ec_, engine.step, cfg.output_interval, dtype,
+                fast_fn=engine.step_fast,
+            )
             acc_ = means_update(acc_, ob, cfg.n, cfg.volume)
             temp, press = instantaneous_temp_press(ob, cfg.n, cfg.volume)
             series = jnp.stack([ob.epot, ob.ekin, ob.epot + ob.ekin, temp, press])
@@ -150,7 +156,10 @@ def run_production_streaming(
             writer.close()
 
     if epilogue:
-        ecarry, _ = _advance(ecarry, engine.step, epilogue, dtype)
+        ecarry, _ = _advance(
+            ecarry, engine.step, epilogue, dtype,
+            fast_fn=engine.step_fast, want_obs=False,
+        )
     final_state = engine.get_state(ecarry)
     diagnostics = engine.diagnostics(ecarry)
 

@@ -56,6 +56,7 @@ def _lj_tile_kernel(
     tile_i: int,
     tile_j: int,
     approx_reciprocal: bool = False,
+    want_observables: bool = True,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -100,21 +101,18 @@ def _lj_tile_kernel(
     inv_r6 = inv_r2 * inv_r2 * inv_r2
     inv_r12 = inv_r6 * inv_r6
 
-    e = inv_r12 - inv_r6                     # U/4 per pair (0 when masked)
     du = inv_r6 - 2.0 * inv_r12              # (r dU/dr)/24 per pair
-    ddu = 26.0 * inv_r12 - 7.0 * inv_r6      # (r^2 d2U/dr2)/24 per pair
     coef = -du * inv_r2                      # force/(24 dr) per pair
 
-    fx = jnp.sum(coef * dx, axis=1)
-    fy = jnp.sum(coef * dy, axis=1)
-    fz = jnp.sum(coef * dz, axis=1)
-
-    out_ref[0, :] += fx
-    out_ref[1, :] += fy
-    out_ref[2, :] += fz
-    out_ref[3, :] += jnp.sum(e, axis=1)
-    out_ref[4, :] += jnp.sum(du, axis=1)
-    out_ref[5, :] += jnp.sum(ddu, axis=1)
+    out_ref[0, :] += jnp.sum(coef * dx, axis=1)
+    out_ref[1, :] += jnp.sum(coef * dy, axis=1)
+    out_ref[2, :] += jnp.sum(coef * dz, axis=1)
+    if want_observables:
+        e = inv_r12 - inv_r6                 # U/4 per pair (0 when masked)
+        ddu = 26.0 * inv_r12 - 7.0 * inv_r6  # (r^2 d2U/dr2)/24 per pair
+        out_ref[3, :] += jnp.sum(e, axis=1)
+        out_ref[4, :] += jnp.sum(du, axis=1)
+        out_ref[5, :] += jnp.sum(ddu, axis=1)
 
 
 def pallas_pair_sweep(
@@ -126,6 +124,7 @@ def pallas_pair_sweep(
     tile_j: int = 1024,
     interpret: bool = False,
     approx_reciprocal: bool = False,
+    want_observables: bool = True,
 ) -> jax.Array:
     """Raw tiled sweep on an (8, n_pad) row matrix (rows 0..2 = x,y,z).
 
@@ -147,6 +146,7 @@ def pallas_pair_sweep(
         tile_i=tile_i,
         tile_j=tile_j,
         approx_reciprocal=approx_reciprocal and not interpret,
+        want_observables=want_observables,
     )
     return pl.pallas_call(
         kernel,
@@ -178,6 +178,7 @@ def _lj_tri_kernel(
     n: int,
     tile_i: int,
     tile_j: int,
+    want_observables: bool = True,
 ):
     """Triangular variant: each unordered pair is evaluated ONCE (mask
     gj > gi); the reaction forces go to a per-(i,j) j-side buffer reduced
@@ -226,9 +227,7 @@ def _lj_tri_kernel(
         inv_r6 = inv_r2 * inv_r2 * inv_r2
         inv_r12 = inv_r6 * inv_r6
 
-        e = inv_r12 - inv_r6
         du = inv_r6 - 2.0 * inv_r12
-        ddu = 26.0 * inv_r12 - 7.0 * inv_r6
         coef = -du * inv_r2
 
         fx = coef * dx
@@ -237,9 +236,12 @@ def _lj_tri_kernel(
         out1_ref[0, :] += jnp.sum(fx, axis=1)
         out1_ref[1, :] += jnp.sum(fy, axis=1)
         out1_ref[2, :] += jnp.sum(fz, axis=1)
-        out1_ref[3, :] += jnp.sum(e, axis=1)
-        out1_ref[4, :] += jnp.sum(du, axis=1)
-        out1_ref[5, :] += jnp.sum(ddu, axis=1)
+        if want_observables:
+            e = inv_r12 - inv_r6
+            ddu = 26.0 * inv_r12 - 7.0 * inv_r6
+            out1_ref[3, :] += jnp.sum(e, axis=1)
+            out1_ref[4, :] += jnp.sum(du, axis=1)
+            out1_ref[5, :] += jnp.sum(ddu, axis=1)
         # Reaction on b: -sum_a f_ab (column sums).
         out2_ref[0, 0, :] = -jnp.sum(fx, axis=0)
         out2_ref[0, 1, :] = -jnp.sum(fy, axis=0)
@@ -255,6 +257,7 @@ def pallas_pair_sweep_tri(
     tile_i: int = 128,
     tile_j: int = 1024,
     interpret: bool = False,
+    want_observables: bool = True,
 ) -> jax.Array:
     """Triangular counterpart of ``pallas_pair_sweep``. NOTE: scalar rows
     3..5 hold per-pair-ONCE partials, so totals restore with prefactors
@@ -269,6 +272,7 @@ def pallas_pair_sweep_tri(
         n=n,
         tile_i=tile_i,
         tile_j=tile_j,
+        want_observables=want_observables,
     )
     out1, out2 = pl.pallas_call(
         kernel,

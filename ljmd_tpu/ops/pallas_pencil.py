@@ -55,6 +55,7 @@ def _pencil_kernel(
     inv_box_length: float,
     rc_square: float,
     capacity: int,
+    want_observables: bool = True,
 ):
     nbr_refs = refs[:9]
     out_ref = refs[9]
@@ -111,17 +112,18 @@ def _pencil_kernel(
                     inv_r6 = inv_r2 * inv_r2 * inv_r2
                     inv_r12 = inv_r6 * inv_r6
 
-                    e = inv_r12 - inv_r6
                     du = inv_r6 - 2.0 * inv_r12
-                    ddu = 26.0 * inv_r12 - 7.0 * inv_r6
                     coef = -du * inv_r2
 
                     out_ref[0, isl] += jnp.sum(coef * dx, axis=1)
                     out_ref[1, isl] += jnp.sum(coef * dy, axis=1)
                     out_ref[2, isl] += jnp.sum(coef * dz, axis=1)
-                    out_ref[3, isl] += jnp.sum(e, axis=1)
-                    out_ref[4, isl] += jnp.sum(du, axis=1)
-                    out_ref[5, isl] += jnp.sum(ddu, axis=1)
+                    if want_observables:
+                        e = inv_r12 - inv_r6
+                        ddu = 26.0 * inv_r12 - 7.0 * inv_r6
+                        out_ref[3, isl] += jnp.sum(e, axis=1)
+                        out_ref[4, isl] += jnp.sum(du, axis=1)
+                        out_ref[5, isl] += jnp.sum(ddu, axis=1)
 
 
 def pallas_pencil_sweep(
@@ -132,6 +134,7 @@ def pallas_pencil_sweep(
     rc_square: float,
     tile_i: int = TILE_I,
     interpret: bool = False,
+    want_observables: bool = True,
 ) -> jax.Array:
     """(8, n_slots) -> (8, n_slots) structured pair sweep (see module doc).
 
@@ -146,6 +149,7 @@ def pallas_pencil_sweep(
         inv_box_length=1.0 / float(grid.box_length),
         rc_square=float(rc_square),
         capacity=cap,
+        want_observables=want_observables,
     )
 
     def make_nbr_spec(k):
