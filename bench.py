@@ -59,10 +59,14 @@ def main() -> None:
     engine = make_engine(cfg, backend)
     carry, _ = engine.init(state)
 
+    # Production-representative loop: the driver samples every
+    # output_interval steps, so the hot step is the observable-free one.
+    step_hot = engine.step_fast or engine.step
+
     @jax.jit
     def run(c):
         def body(cc, _):
-            cc2, ob = engine.step(cc)
+            cc2, ob = step_hot(cc)
             return cc2, None
 
         out, _ = jax.lax.scan(body, c, None, length=n_steps)
