@@ -11,7 +11,6 @@ PNG set, and writes ``summary.json`` + ``summary.txt``.
 from __future__ import annotations
 
 import json
-import math
 import os
 from typing import Optional
 

@@ -19,7 +19,6 @@ matching the reference (``README.md:75-84``).
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional
 
 __all__ = ["SimConfig", "parse_reference_input", "load_config"]

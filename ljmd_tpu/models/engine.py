@@ -23,7 +23,6 @@ from ljmd_tpu.models.integrators import velocity_verlet_step
 from ljmd_tpu.ops.geometry import minimum_image, wrap_positions
 from ljmd_tpu.ops.lj import tail_corrections
 from ljmd_tpu.ops.neighbor import (
-    NeighborList,
     build_neighbor_list_dense,
     estimate_capacity,
     lj_force_energy_neighbor,

@@ -35,7 +35,7 @@ import numpy as np
 from jax import lax
 
 from ljmd_tpu.config import SimConfig
-from ljmd_tpu.models.engine import Engine, make_engine
+from ljmd_tpu.models.engine import make_engine
 from ljmd_tpu.models.lattice import (
     fcc_lattice,
     random_velocities,
@@ -43,9 +43,8 @@ from ljmd_tpu.models.lattice import (
     rescale_to_target_energy,
 )
 from ljmd_tpu.state import MDState, StepObs
-from ljmd_tpu.stats.correlations import autocorr_all, block_corr_means, normalize_corr
+from ljmd_tpu.stats.correlations import autocorr_all, block_corr_means
 from ljmd_tpu.stats.moments import (
-    MeansAccum,
     MeansReport,
     instantaneous_temp_press,
     means_finalize,

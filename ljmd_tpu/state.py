@@ -15,7 +15,6 @@ resumable state (SURVEY §5.4).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
