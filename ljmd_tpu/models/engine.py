@@ -160,7 +160,10 @@ def _comp_add(x: jax.Array, c: jax.Array, delta: jax.Array):
 
 
 def _pallas_rows_engine(
-    cfg: SimConfig, interpret: bool | None = None, triangular: bool = True
+    cfg: SimConfig,
+    interpret: bool | None = None,
+    triangular: bool = True,
+    compensated: bool | None = None,
 ) -> Engine:
     """Dense Pallas backend with a layout-native carry.
 
@@ -230,7 +233,9 @@ def _pallas_rows_engine(
     # energy drifts grossly (measured: the reference's dt=1e-4 config drifts
     # 12% per 100k steps plain vs 5e-4 compensated). Cost is a few
     # elementwise row ops — negligible next to the pair sweep.
-    compensated = (cfg.compensated_sum or cfg.dt <= 1.0e-3) and dtype == jnp.float32
+    if compensated is None:
+        compensated = cfg.compensated_sum or cfg.dt <= 1.0e-3
+    compensated = compensated and dtype == jnp.float32
 
     def init(state: MDState):
         r8 = to_rows(state.r)

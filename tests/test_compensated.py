@@ -39,10 +39,13 @@ def test_compensation_reduces_f32_error():
     eng64 = make_engine(cfg64, "dense")
     s64, _ = run_engine(eng64, state64, n_steps)
 
-    cfg_plain = config_from_density(dtype="float32", compensated_sum=False, **base)
-    cfg_comp = config_from_density(dtype="float32", compensated_sum=True, **base)
-    s_plain, _ = run_engine(_pallas_rows_engine(cfg_plain, interpret=True), state32, n_steps)
-    s_comp, _ = run_engine(_pallas_rows_engine(cfg_comp, interpret=True), state32, n_steps)
+    cfg32 = config_from_density(dtype="float32", **base)
+    s_plain, _ = run_engine(
+        _pallas_rows_engine(cfg32, interpret=True, compensated=False), state32, n_steps
+    )
+    s_comp, _ = run_engine(
+        _pallas_rows_engine(cfg32, interpret=True, compensated=True), state32, n_steps
+    )
 
     ref_v = np.asarray(s64.v)
     err_plain = np.abs(np.asarray(s_plain.v, dtype=np.float64) - ref_v).max()
