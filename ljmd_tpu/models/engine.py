@@ -314,16 +314,39 @@ class PencilCarry:
     a: jax.Array
     r_ref: jax.Array
     counts: jax.Array
+    win_a: jax.Array
+    win_b: jax.Array
+    use_b: jax.Array
     overflow: jax.Array
 
 
-def _cellpair_engine(cfg: SimConfig, interpret: bool | None = None) -> Engine:
+def _cellpair_engine(
+    cfg: SimConfig, interpret: bool | None = None, z_band: bool = True
+) -> Engine:
     """Structured pencil-sweep backend for large N (SURVEY §5.7): pair work
     O(N * 9 * capacity) with purely block-structured memory access; rebinning
     (an argsort + scatter) happens only when a particle moved more than
-    skin/2, under lax.cond."""
-    from ljmd_tpu.ops.cell_list import bin_to_slots, make_pencil_grid, rebin_slots
-    from ljmd_tpu.ops.pallas_pencil import TILE_I, build_tile_table, pallas_pencil_sweep
+    skin/2, under lax.cond.
+
+    ``z_band=True``: ranks within a pencil are z-sorted, and each
+    (i-slice, neighbor) computes only the rank windows whose bin-time z lies
+    within rc+skin of the slice (tables from ``compute_z_windows``,
+    recomputed at every rebin; PBC-wrap spillover handled by a deduped second
+    window). The sticky ``overflow`` flag then also covers window overflow —
+    if set, results are INVALID (grow neighbor_capacity)."""
+    from ljmd_tpu.ops.cell_list import (
+        bin_to_slots,
+        compute_z_windows,
+        default_z_window,
+        make_pencil_grid,
+        rebin_slots,
+    )
+    from ljmd_tpu.ops.pallas_pencil import (
+        TILE_I,
+        build_tile_table,
+        pallas_pencil_sweep,
+        pallas_pencil_sweep_zband,
+    )
 
     if interpret is None:
         try:
@@ -341,6 +364,10 @@ def _cellpair_engine(cfg: SimConfig, interpret: bool | None = None) -> Engine:
     n = cfg.n
     ns = grid.n_slots
     dtype = jnp.dtype(cfg.dtype)
+    window = default_z_window(grid, n, r_list, TILE_I)
+    if window >= grid.capacity:
+        z_band = False  # banding degenerates to the full sweep
+    n_tables = (ns // TILE_I) * 9
 
     e_t, d_t, dd_t = (
         tail_corrections(n, cfg.volume, cfg.rc)
@@ -350,11 +377,26 @@ def _cellpair_engine(cfg: SimConfig, interpret: bool | None = None) -> Engine:
     row_mask = jnp.zeros((8, 1), dtype).at[0:3].set(1.0)   # keep only forces
     xyz_mask = row_mask                                    # zero deltas on aux rows
 
-    def sweep(pos, counts, want_obs=True):
+    def sweep(pos, counts, wins, want_obs=True):
+        if z_band:
+            return pallas_pencil_sweep_zband(
+                pos, tile_table, counts, wins[0], wins[1], wins[2],
+                grid, cfg.rc_square, window,
+                interpret=interpret, want_observables=want_obs,
+            )
         return pallas_pencil_sweep(
             pos, tile_table, counts, grid, cfg.rc_square,
             tile_i=TILE_I, interpret=interpret, want_observables=want_obs,
         )
+
+    def _windows(r8, valid, counts):
+        if not z_band:
+            zero = jnp.zeros((n_tables,), jnp.int32)
+            return (zero, zero, zero), jnp.asarray(False)
+        wa, wb, ub, ovf = compute_z_windows(
+            r8, valid, counts, grid, window, r_list, TILE_I
+        )
+        return (wa, wb, ub), ovf
 
     def _counts_from_valid(valid):
         return (
@@ -387,11 +429,14 @@ def _cellpair_engine(cfg: SimConfig, interpret: bool | None = None) -> Engine:
         ru8 = _scatter_rows(state.ru, slot)
         v8 = _scatter_rows(state.v, slot)
         counts = _counts_from_valid(valid)
-        out = sweep(r8, counts)
+        wins, w_ovf = _windows(r8, valid, counts)
+        out = sweep(r8, counts, wins)
         a8 = 24.0 * out * row_mask
         ekin = 0.5 * jnp.sum(v8 * v8)
         carry = PencilCarry(
-            r=r8, ru=ru8, v=v8, a=a8, r_ref=r8, counts=counts, overflow=overflow
+            r=r8, ru=ru8, v=v8, a=a8, r_ref=r8, counts=counts,
+            win_a=wins[0], win_b=wins[1], use_b=wins[2],
+            overflow=overflow | w_ovf,
         )
         return carry, obs_from(out, ekin)
 
@@ -421,22 +466,31 @@ def _cellpair_engine(cfg: SimConfig, interpret: bool | None = None) -> Engine:
                 return out[:, :ns]
 
             r8p = permute(r8)  # rows 3/4 (validity, ids) move with the slots
-            return r8p, permute(ru8), permute(v8), r8p, _counts_from_valid(r8p[3, :]), overflow
+            counts_p = _counts_from_valid(r8p[3, :])
+            wins_p, w_ovf = _windows(r8p, r8p[3, :], counts_p)
+            return (
+                r8p, permute(ru8), permute(v8), r8p, counts_p,
+                wins_p[0], wins_p[1], wins_p[2], overflow | w_ovf,
+            )
 
         def no_rebin(args):
             r8, ru8, v8 = args
-            return r8, ru8, v8, c.r_ref, c.counts, jnp.asarray(False)
+            return (
+                r8, ru8, v8, c.r_ref, c.counts,
+                c.win_a, c.win_b, c.use_b, jnp.asarray(False),
+            )
 
-        r_new, ru_new, v_half, r_ref, counts, ovf = lax.cond(
+        r_new, ru_new, v_half, r_ref, counts, wa, wb, ub, ovf = lax.cond(
             moved, do_rebin, no_rebin, (r_new, ru_new, v_half)
         )
 
-        out = sweep(r_new, counts, want_obs)
+        out = sweep(r_new, counts, (wa, wb, ub), want_obs)
         a_new = 24.0 * out * row_mask
         v_new = v_half + a_new * half_dt
         ekin = 0.5 * jnp.sum(v_new * v_new)
         carry = PencilCarry(
             r=r_new, ru=ru_new, v=v_new, a=a_new, r_ref=r_ref, counts=counts,
+            win_a=wa, win_b=wb, use_b=ub,
             overflow=c.overflow | ovf,
         )
         return carry, obs_from(out, ekin)

@@ -33,6 +33,8 @@ __all__ = [
     "pencil_capacity",
     "bin_to_slots",
     "rebin_slots",
+    "default_z_window",
+    "compute_z_windows",
 ]
 
 
@@ -104,14 +106,19 @@ def _pencil_ids(x: jax.Array, y: jax.Array, grid: PencilGrid) -> jax.Array:
 def bin_to_slots(r: jax.Array, grid: PencilGrid):
     """Bin (N, 3) wrapped positions into pencil slots.
 
-    Returns (slot_of_particle (N,), overflow flag). Deterministic: particles
-    are ranked within a pencil by ascending particle index.
+    Returns (slot_of_particle (N,), overflow flag). Particles are ranked
+    within a pencil by ascending z (the rank prefix is z-SORTED — the
+    z-window kernel depends on this), ties broken by particle index
+    (stable sort).
     """
     n = r.shape[0]
     pid = _pencil_ids(r[:, 0], r[:, 1], grid)
-    order = jnp.argsort(pid, stable=True)          # particles grouped by pencil
+    # Composite key: pencil-major, z-minor. f64 keeps the ordering exact
+    # (pid * (L+1) spacing >> z resolution).
+    key = pid.astype(jnp.float64) * (grid.box_length + 1.0) + r[:, 2].astype(jnp.float64)
+    order = jnp.argsort(key, stable=True)
     sorted_pid = pid[order]
-    # rank within pencil: position in the sorted run
+    # rank within pencil: position in the (contiguous) pid run
     first_of_run = jnp.searchsorted(sorted_pid, sorted_pid, side="left")
     ranks_sorted = jnp.arange(n) - first_of_run
     ranks = jnp.zeros((n,), jnp.int32).at[order].set(ranks_sorted.astype(jnp.int32))
@@ -131,14 +138,17 @@ def rebin_slots(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid):
     map to the sentinel n_slots (dropped by the scatter).
     """
     ns = grid.n_slots
-    x, y = rows_r[0], rows_r[1]
+    x, y, z = rows_r[0], rows_r[1], rows_r[2]
     pid = _pencil_ids(x, y, grid)
     is_valid = valid > 0.5
-    # Sort: valid particles grouped by pencil; invalid slots pushed to the end.
-    key = jnp.where(is_valid, pid, grid.n_pencils)
+    # Sort key: (pencil, z) for valid slots; invalid slots pushed to the end.
+    pid_key = jnp.where(is_valid, pid, grid.n_pencils)
+    key = pid_key.astype(jnp.float64) * (grid.box_length + 1.0) + jnp.where(
+        is_valid, z.astype(jnp.float64), 0.0
+    )
     order = jnp.argsort(key, stable=True)
-    sorted_key = key[order]
-    first_of_run = jnp.searchsorted(sorted_key, sorted_key, side="left")
+    sorted_pid = pid_key[order]
+    first_of_run = jnp.searchsorted(sorted_pid, sorted_pid, side="left")
     ranks_sorted = (jnp.arange(ns) - first_of_run).astype(jnp.int32)
     ranks = jnp.zeros((ns,), jnp.int32).at[order].set(ranks_sorted)
     overflow = jnp.any(is_valid & (ranks >= grid.capacity))
@@ -148,3 +158,95 @@ def rebin_slots(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid):
         ns,  # sentinel: dropped
     )
     return new_slot, overflow
+
+
+def default_z_window(grid: PencilGrid, n: int, r_extend: float, tile_i: int = 128) -> int:
+    """Static z-window width (slots): expected slice rank-span (tile_i) plus
+    the rank-equivalent of the +-r_extend z margin, with a fluctuation
+    safety factor; 128-aligned, clamped to [128, capacity]."""
+    occ = n / grid.n_pencils
+    est = (tile_i + 2.0 * r_extend / grid.box_length * occ) * 1.35 + 16
+    w = ((int(est) + 127) // 128) * 128
+    return max(128, min(w, grid.capacity))
+
+
+@partial(jax.jit, static_argnames=("grid", "window", "tile_i", "r_extend"))
+def compute_z_windows(
+    rows_r: jax.Array,
+    valid: jax.Array,
+    counts: jax.Array,
+    grid: PencilGrid,
+    window: int,
+    r_extend: float,
+    tile_i: int = 128,
+):
+    """Per-(i-slice, neighbor) z-window start tables for the banded kernel.
+
+    For each 128-slot i-slice and each of its 9 xy-neighbor pencils, find up
+    to two ``window``-slot rank windows covering every j whose BIN-TIME z lies
+    within [zmin_i - r_extend, zmax_i + r_extend] (circularly in z). Window A
+    covers the main interval; window B covers the PBC-wrapped spillover when
+    the interval crosses z = 0 or z = L (the kernel dedups A/B overlap by
+    rank). Requires the z-sorted rank prefix from ``bin_to_slots``.
+
+    Returns (start_a, start_b, use_b) each (T*9,) int32 flattened, plus an
+    ``overflow`` flag set when some window cannot cover its interval (results
+    would silently miss pairs -> caller must grow ``window``/capacity).
+    """
+    cap = grid.capacity
+    L = grid.box_length
+    T = grid.n_slots // tile_i
+    tiles_per_pencil = cap // tile_i
+    big = 2.0 * L  # sentinel z for empty slots: sorts after all real z
+
+    z = rows_r[2]
+    ok = valid > 0.5
+    zcol = jnp.where(ok, z, big).reshape(grid.n_pencils, cap)
+
+    zsl = z.reshape(T, tile_i)
+    vsl = ok.reshape(T, tile_i)
+    zmin = jnp.min(jnp.where(vsl, zsl, big), axis=1)
+    zmax = jnp.max(jnp.where(vsl, zsl, -big), axis=1)
+    nonempty = vsl.any(axis=1)
+
+    lo = zmin - r_extend
+    hi = zmax + r_extend
+
+    nbr = jnp.asarray(grid.neighbor_table())             # (P, 9)
+    slice_pencil = jnp.arange(T) // tiles_per_pencil
+    nbrs = nbr[slice_pencil]                             # (T, 9)
+    zk = zcol[nbrs]                                      # (T, 9, cap)
+
+    def ss(a, v, side):
+        return jnp.searchsorted(a, v, side=side)
+
+    ss_rows = jax.vmap(jax.vmap(ss, in_axes=(0, 0, None)), in_axes=(0, 0, None))
+    lo_b = jnp.broadcast_to(jnp.maximum(lo, 0.0)[:, None], (T, 9))
+    hi_b = jnp.broadcast_to(jnp.minimum(hi, L)[:, None], (T, 9))
+    s1 = ss_rows(zk, lo_b, "left")
+    e1 = ss_rows(zk, hi_b, "right")
+    over_a = e1 - s1 > window
+    start_a = jnp.clip(s1, 0, cap - window)
+
+    wrap_lo = jnp.broadcast_to((lo < 0.0)[:, None], (T, 9))
+    wrap_hi = jnp.broadcast_to((hi > L)[:, None], (T, 9))
+    # wrap below: [lo+L, L] -> ranks [s2, count); wrap above: [0, hi-L] -> [0, e3)
+    s2 = ss_rows(zk, jnp.broadcast_to((lo + L)[:, None], (T, 9)), "left")
+    e2 = counts[nbrs]
+    e3 = ss_rows(zk, jnp.broadcast_to((hi - L)[:, None], (T, 9)), "right")
+    use_b = wrap_lo | wrap_hi
+    b_start_raw = jnp.where(wrap_lo, s2, 0)
+    b_end = jnp.where(wrap_lo, e2, e3)
+    over_b = use_b & (b_end - b_start_raw > window)
+    start_b = jnp.clip(b_start_raw, 0, cap - window)
+
+    bad = nonempty[:, None] & (over_a | over_b | (wrap_lo & wrap_hi))
+    overflow = jnp.any(bad)
+
+    z32 = jnp.int32
+    return (
+        start_a.astype(z32).reshape(-1),
+        start_b.astype(z32).reshape(-1),
+        use_b.astype(z32).reshape(-1),
+        overflow,
+    )

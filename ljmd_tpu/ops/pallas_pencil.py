@@ -126,6 +126,163 @@ def _pencil_kernel(
                         out_ref[5, isl] += jnp.sum(ddu, axis=1)
 
 
+def _pencil_zband_kernel(
+    tbl_ref,      # scalar-prefetch: (n_pencils*9,) int32 neighbor pencil ids
+    counts_ref,   # scalar-prefetch: (n_pencils,) int32 occupancy
+    start_a_ref,  # scalar-prefetch: (T*9,) int32 window-A start ranks
+    start_b_ref,  # scalar-prefetch: (T*9,) int32 window-B start ranks
+    use_b_ref,    # scalar-prefetch: (T*9,) int32 window-B needed flags
+    pos_i_ref,    # (8, capacity): this pencil
+    *refs,        # 9 x (8, capacity) neighbor pencils, then out_ref
+    box_length: float,
+    inv_box_length: float,
+    rc_square: float,
+    capacity: int,
+    window: int,
+    want_observables: bool = True,
+):
+    """z-banded variant: per (i-slice, neighbor pencil), compute only the
+    z-window rank ranges produced by ``compute_z_windows`` (window A always,
+    window B under its flag, with rank-dedup against A). Ranks are z-sorted,
+    so the windows cover every pair within rc (+skin margin) and nothing is
+    double-counted."""
+    nbr_refs = refs[:9]
+    out_ref = refs[9]
+    p = pl.program_id(0)
+
+    out_ref[:, :] = jnp.zeros_like(out_ref)
+    count_i = counts_ref[p]
+    L = box_length
+    inv_l = inv_box_length
+    n_sub = capacity // TILE_I
+    tpp = n_sub  # i slices per pencil
+
+    for si in range(n_sub):
+        isl = slice(si * TILE_I, (si + 1) * TILE_I)
+        t_global = p * tpp + si
+
+        @pl.when(si * TILE_I < count_i)
+        def _i_slice(si=si, isl=isl, t_global=t_global):
+            xi = pos_i_ref[0, isl].reshape(TILE_I, 1)
+            yi = pos_i_ref[1, isl].reshape(TILE_I, 1)
+            zi = pos_i_ref[2, isl].reshape(TILE_I, 1)
+            vi = pos_i_ref[3, isl].reshape(TILE_I, 1)
+            gi = (
+                p * capacity
+                + si * TILE_I
+                + jax.lax.broadcasted_iota(jnp.int32, (TILE_I, window), 0)
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, (TILE_I, window), 1)
+
+            def pass_window(jref, j_pencil, start, dedup_start):
+                xj = jref[0, pl.ds(start, window)].reshape(1, window)
+                yj = jref[1, pl.ds(start, window)].reshape(1, window)
+                zj = jref[2, pl.ds(start, window)].reshape(1, window)
+                vj = jref[3, pl.ds(start, window)].reshape(1, window)
+
+                dx = xi - xj
+                dy = yi - yj
+                dz = zi - zj
+                dx = dx - L * jnp.round(dx * inv_l)
+                dy = dy - L * jnp.round(dy * inv_l)
+                dz = dz - L * jnp.round(dz * inv_l)
+                r2 = dx * dx + dy * dy + dz * dz
+
+                rank = start + col
+                gj = j_pencil * capacity + rank
+                mask = (r2 < rc_square) & (gi != gj) & (vi * vj > 0.5)
+                if dedup_start is not None:
+                    covered_by_a = (rank >= dedup_start) & (
+                        rank < dedup_start + window
+                    )
+                    mask = mask & jnp.logical_not(covered_by_a)
+
+                one = jnp.asarray(1.0, r2.dtype)
+                r2_safe = jnp.where(mask, r2, one)
+                inv_r2 = jnp.where(mask, one / r2_safe, 0.0)
+                inv_r6 = inv_r2 * inv_r2 * inv_r2
+                inv_r12 = inv_r6 * inv_r6
+
+                du = inv_r6 - 2.0 * inv_r12
+                coef = -du * inv_r2
+
+                out_ref[0, isl] += jnp.sum(coef * dx, axis=1)
+                out_ref[1, isl] += jnp.sum(coef * dy, axis=1)
+                out_ref[2, isl] += jnp.sum(coef * dz, axis=1)
+                if want_observables:
+                    e = inv_r12 - inv_r6
+                    ddu = 26.0 * inv_r12 - 7.0 * inv_r6
+                    out_ref[3, isl] += jnp.sum(e, axis=1)
+                    out_ref[4, isl] += jnp.sum(du, axis=1)
+                    out_ref[5, isl] += jnp.sum(ddu, axis=1)
+
+            for k in range(9):
+                j_pencil = tbl_ref[p * 9 + k]
+                jref = nbr_refs[k]
+                sa = start_a_ref[t_global * 9 + k]
+
+                @pl.when(counts_ref[j_pencil] > 0)
+                def _win_a(jref=jref, j_pencil=j_pencil, sa=sa):
+                    pass_window(jref, j_pencil, sa, None)
+
+                @pl.when((use_b_ref[t_global * 9 + k] > 0) & (counts_ref[j_pencil] > 0))
+                def _win_b(jref=jref, j_pencil=j_pencil, sa=sa, t_global=t_global, k=k):
+                    pass_window(jref, j_pencil, start_b_ref[t_global * 9 + k], sa)
+
+
+def pallas_pencil_sweep_zband(
+    pos_slots: jax.Array,
+    tile_table: jax.Array,
+    counts: jax.Array,
+    start_a: jax.Array,
+    start_b: jax.Array,
+    use_b: jax.Array,
+    grid: PencilGrid,
+    rc_square: float,
+    window: int,
+    interpret: bool = False,
+    want_observables: bool = True,
+) -> jax.Array:
+    """z-banded structured sweep (see ``_pencil_zband_kernel``). Tables come
+    from ``cell_list.compute_z_windows`` (recomputed at every rebin)."""
+    n_slots = grid.n_slots
+    cap = grid.capacity
+
+    kernel = functools.partial(
+        _pencil_zband_kernel,
+        box_length=float(grid.box_length),
+        inv_box_length=1.0 / float(grid.box_length),
+        rc_square=float(rc_square),
+        capacity=cap,
+        window=window,
+        want_observables=want_observables,
+    )
+
+    def make_nbr_spec(k):
+        return pl.BlockSpec(
+            (8, cap), lambda p, tbl, cnt, sa, sb, ub, k=k: (0, tbl[p * 9 + k])
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(grid.n_pencils,),
+        in_specs=[pl.BlockSpec((8, cap), lambda p, tbl, cnt, sa, sb, ub: (0, p))]
+        + [make_nbr_spec(k) for k in range(9)],
+        out_specs=pl.BlockSpec((8, cap), lambda p, tbl, cnt, sa, sb, ub: (0, p)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, n_slots), pos_slots.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(45 * n_slots * 9 * window),
+            bytes_accessed=int(4 * 8 * n_slots * 10),
+            transcendentals=0,
+        ),
+    )(tile_table, counts, start_a, start_b, use_b, pos_slots, *([pos_slots] * 9))
+
+
 def pallas_pencil_sweep(
     pos_slots: jax.Array,
     tile_table: jax.Array,
