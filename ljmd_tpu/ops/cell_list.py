@@ -165,7 +165,9 @@ def default_z_window(grid: PencilGrid, n: int, r_extend: float, tile_i: int = 12
     the rank-equivalent of the +-r_extend z margin, with a fluctuation
     safety factor; 128-aligned, clamped to [128, capacity]."""
     occ = n / grid.n_pencils
-    est = (tile_i + 2.0 * r_extend / grid.box_length * occ) * 1.35 + 16
+    # +128 slack: window starts are aligned DOWN to 128-lane boundaries
+    # (Mosaic requires provable alignment of dynamic lane slices).
+    est = (tile_i + 2.0 * r_extend / grid.box_length * occ) * 1.35 + 16 + 128
     w = ((int(est) + 127) // 128) * 128
     return max(128, min(w, grid.capacity))
 
@@ -225,8 +227,10 @@ def compute_z_windows(
     hi_b = jnp.broadcast_to(jnp.minimum(hi, L)[:, None], (T, 9))
     s1 = ss_rows(zk, lo_b, "left")
     e1 = ss_rows(zk, hi_b, "right")
-    over_a = e1 - s1 > window
-    start_a = jnp.clip(s1, 0, cap - window)
+    # align starts down to 128 (Mosaic lane-slice alignment); coverage check
+    # uses the aligned start.
+    start_a = jnp.minimum((s1 // 128) * 128, cap - window)
+    over_a = e1 > start_a + window
 
     wrap_lo = jnp.broadcast_to((lo < 0.0)[:, None], (T, 9))
     wrap_hi = jnp.broadcast_to((hi > L)[:, None], (T, 9))
@@ -237,8 +241,8 @@ def compute_z_windows(
     use_b = wrap_lo | wrap_hi
     b_start_raw = jnp.where(wrap_lo, s2, 0)
     b_end = jnp.where(wrap_lo, e2, e3)
-    over_b = use_b & (b_end - b_start_raw > window)
-    start_b = jnp.clip(b_start_raw, 0, cap - window)
+    start_b = jnp.minimum((b_start_raw // 128) * 128, cap - window)
+    over_b = use_b & (b_end > start_b + window)
 
     bad = nonempty[:, None] & (over_a | over_b | (wrap_lo & wrap_hi))
     overflow = jnp.any(bad)

@@ -175,6 +175,7 @@ def _pencil_zband_kernel(
             col = jax.lax.broadcasted_iota(jnp.int32, (TILE_I, window), 1)
 
             def pass_window(jref, j_pencil, start, dedup_start):
+                start = pl.multiple_of(start, 128)
                 xj = jref[0, pl.ds(start, window)].reshape(1, window)
                 yj = jref[1, pl.ds(start, window)].reshape(1, window)
                 zj = jref[2, pl.ds(start, window)].reshape(1, window)

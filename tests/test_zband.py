@@ -36,9 +36,9 @@ def tall_box():
     """Tall pencils (L >> rc) so the z-window is genuinely narrower than the
     pencil: L=40, 3x3 pencils of width 13.3, ~250 particles per pencil."""
     rng = np.random.default_rng(0)
-    n, L = 2250, 40.0
+    n, L = 3200, 60.0
     r = rng.uniform(0, L, size=(n, 3))
-    grid = make_pencil_grid(n, L, r_list=13.0, density=n / L**3)
+    grid = make_pencil_grid(n, L, r_list=20.0, density=n / L**3)
     assert grid.m_xy == 3
     return n, L, r, grid
 
