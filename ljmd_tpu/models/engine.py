@@ -321,19 +321,23 @@ class PencilCarry:
 
 
 def _cellpair_engine(
-    cfg: SimConfig, interpret: bool | None = None, z_band: bool = True
+    cfg: SimConfig, interpret: bool | None = None, z_band: bool = False
 ) -> Engine:
     """Structured pencil-sweep backend for large N (SURVEY §5.7): pair work
     O(N * 9 * capacity) with purely block-structured memory access; rebinning
     (an argsort + scatter) happens only when a particle moved more than
     skin/2, under lax.cond.
 
-    ``z_band=True``: ranks within a pencil are z-sorted, and each
-    (i-slice, neighbor) computes only the rank windows whose bin-time z lies
-    within rc+skin of the slice (tables from ``compute_z_windows``,
-    recomputed at every rebin; PBC-wrap spillover handled by a deduped second
-    window). The sticky ``overflow`` flag then also covers window overflow —
-    if set, results are INVALID (grow neighbor_capacity)."""
+    ``z_band=True`` (EXPERIMENTAL, default off): ranks within a pencil are
+    z-sorted, and each (i-slice, neighbor) computes only the rank windows
+    whose bin-time z lies within rc+skin of the slice (tables from
+    ``compute_z_windows``, recomputed at every rebin; PBC-wrap spillover
+    handled by a deduped second window; the sticky ``overflow`` flag then
+    also covers window overflow — if set, results are INVALID). Measured on
+    v5e at N=62500 it currently LOSES (11.3 vs 7.3 ms/step): the 128-lane
+    alignment slack inflates the window to ~75% of capacity and the dynamic
+    slices defeat Mosaic pipelining. Exact-parity verified; kept for
+    taller-box regimes and future tuning (smaller TILE_I)."""
     from ljmd_tpu.ops.cell_list import (
         bin_to_slots,
         compute_z_windows,
