@@ -451,17 +451,22 @@ def _cellpair_engine(
 
     def _step(c: PencilCarry, want_obs: bool):
         # Position update on xyz rows only (aux rows 3/4 of r stay intact).
+        # NO per-step wrap: slot coordinates may drift up to skin/2 outside
+        # [0, L) between rebins. This keeps xi - xj_shifted free of L-jumps,
+        # which the static xy image-shift tables of the pencil kernel rely
+        # on; wrapping happens at rebin (and in get_state).
         delta = (c.v * dt + c.a * half_dt_sq) * xyz_mask
-        r_new = c.r.at[0:3].set(wrap_positions(c.r[0:3] + delta[0:3], L))
+        r_new = c.r + delta
         v_half = c.v + c.a * half_dt
-        # Unwrap BEFORE any rebin so both operands share slot ordering.
-        ru_new = c.ru + minimum_image((r_new - c.r) * xyz_mask, L)
+        ru_new = c.ru + delta
 
         d = minimum_image(r_new[0:3] - c.r_ref[0:3], L)
         moved = jnp.max(jnp.sum(d * d, axis=0) * r_new[3]) > rebuild_thresh
 
         def do_rebin(args):
             r8, ru8, v8 = args
+            # wrap back into [0, L) before re-binning (pencil ids clip).
+            r8 = r8.at[0:3].set(wrap_positions(r8[0:3], L))
             new_slot, overflow = rebin_slots(r8, r8[3, :], grid)
 
             def permute(arr):
@@ -506,7 +511,9 @@ def _cellpair_engine(
         return _step(c, False)
 
     def get_state(c: PencilCarry) -> MDState:
-        """Slot layout -> particle order via the id row."""
+        """Slot layout -> particle order via the id row (positions wrapped
+        back into [0, L) — slot coordinates may drift slightly outside
+        between rebins)."""
         valid = c.r[3, :] > 0.5
         ids = jnp.where(valid, c.r[4, :].astype(jnp.int32), n)
 
@@ -515,7 +522,12 @@ def _cellpair_engine(
             out = out.at[ids].set(arr[0:3, :].T)
             return out[:n]
 
-        return MDState(r=gather(c.r), ru=gather(c.ru), v=gather(c.v), a=gather(c.a))
+        return MDState(
+            r=wrap_positions(gather(c.r), L),
+            ru=gather(c.ru),
+            v=gather(c.v),
+            a=gather(c.a),
+        )
 
     return Engine(
         init=init,

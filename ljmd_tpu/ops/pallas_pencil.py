@@ -46,9 +46,33 @@ def build_tile_table(grid: PencilGrid, tile_i: int = TILE_I) -> np.ndarray:
     return grid.neighbor_table().astype(np.int32).reshape(-1)
 
 
+def build_shift_table(grid: PencilGrid) -> np.ndarray:
+    """Flat (n_pencils * 9 * 2,) int32 table of xy image shifts in units of
+    L: entry [(p*9+k)*2 + c] is -1/0/+1 when the k-th neighbor of pencil p
+    wraps below/not/above in component c.
+
+    Adjacent-pencil geometry (width >= rc + skin, m_xy >= 3) pins the
+    interacting image: with xj shifted by these offsets, the plain
+    displacement xi - xj_shifted IS the minimum image for every pair within
+    the cutoff, so the kernel can drop the xy round() ops (z keeps MIC)."""
+    m = grid.m_xy
+    tbl = np.empty((m * m, 9, 2), dtype=np.int32)
+    for ix in range(m):
+        for iy in range(m):
+            p = ix * m + iy
+            k = 0
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    tbl[p, k, 0] = -1 if ix + dx < 0 else (1 if ix + dx >= m else 0)
+                    tbl[p, k, 1] = -1 if iy + dy < 0 else (1 if iy + dy >= m else 0)
+                    k += 1
+    return tbl.reshape(-1)
+
+
 def _pencil_kernel(
     tbl_ref,     # scalar-prefetch: (n_pencils*9,) int32 neighbor pencil ids
     counts_ref,  # scalar-prefetch: (n_pencils,) int32 occupancy
+    shift_ref,   # scalar-prefetch: (n_pencils*9*2,) int32 xy image shifts (units of L)
     pos_i_ref,   # (8, capacity): this pencil
     *refs,       # 9 x (8, capacity) neighbor pencils, then out_ref
     box_length: float,
@@ -67,6 +91,25 @@ def _pencil_kernel(
     inv_l = inv_box_length
     n_sub = capacity // TILE_I
 
+    # Pre-shift neighbor xy rows by the static image offsets (hoisted out of
+    # the i-slice loop): after this, xi - xjs IS the minimum image in x/y for
+    # every in-cutoff pair (build_shift_table), so only z needs a round().
+    shifted = []
+    for k in range(9):
+        jref = nbr_refs[k]
+        xrow = jref[0, :].reshape(1, capacity)
+        yrow = jref[1, :].reshape(1, capacity)
+        off_x = shift_ref[(p * 9 + k) * 2].astype(xrow.dtype) * L
+        off_y = shift_ref[(p * 9 + k) * 2 + 1].astype(xrow.dtype) * L
+        shifted.append(
+            (
+                xrow + off_x,
+                yrow + off_y,
+                jref[2, :].reshape(1, capacity),
+                jref[3, :].reshape(1, capacity),
+            )
+        )
+
     for si in range(n_sub):
         isl = slice(si * TILE_I, (si + 1) * TILE_I)
 
@@ -84,20 +127,13 @@ def _pencil_kernel(
 
             for k in range(9):
                 j_pencil = tbl_ref[p * 9 + k]
-                jref = nbr_refs[k]
+                xjs, yjs, zj, vj = shifted[k]
 
                 @pl.when(counts_ref[j_pencil] > 0)
-                def _j_pencil(jref=jref, j_pencil=j_pencil):
-                    xj = jref[0, :].reshape(1, capacity)
-                    yj = jref[1, :].reshape(1, capacity)
-                    zj = jref[2, :].reshape(1, capacity)
-                    vj = jref[3, :].reshape(1, capacity)
-
-                    dx = xi - xj
-                    dy = yi - yj
+                def _j_pencil(j_pencil=j_pencil, xjs=xjs, yjs=yjs, zj=zj, vj=vj):
+                    dx = xi - xjs
+                    dy = yi - yjs
                     dz = zi - zj
-                    dx = dx - L * jnp.round(dx * inv_l)
-                    dy = dy - L * jnp.round(dy * inv_l)
                     dz = dz - L * jnp.round(dz * inv_l)
                     r2 = dx * dx + dy * dy + dz * dz
 
@@ -293,13 +329,18 @@ def pallas_pencil_sweep(
     tile_i: int = TILE_I,
     interpret: bool = False,
     want_observables: bool = True,
+    shift_table: jax.Array | None = None,
 ) -> jax.Array:
     """(8, n_slots) -> (8, n_slots) structured pair sweep (see module doc).
 
     ``counts``: (n_pencils,) int32 per-pencil occupancy (from the binning).
+    ``shift_table``: static xy image offsets (``build_shift_table``);
+    computed here when not supplied.
     """
     n_slots = grid.n_slots
     cap = grid.capacity
+    if shift_table is None:
+        shift_table = jnp.asarray(build_shift_table(grid))
 
     kernel = functools.partial(
         _pencil_kernel,
@@ -311,14 +352,16 @@ def pallas_pencil_sweep(
     )
 
     def make_nbr_spec(k):
-        return pl.BlockSpec((8, cap), lambda p, tbl, cnt, k=k: (0, tbl[p * 9 + k]))
+        return pl.BlockSpec(
+            (8, cap), lambda p, tbl, cnt, shf, k=k: (0, tbl[p * 9 + k])
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(grid.n_pencils,),
-        in_specs=[pl.BlockSpec((8, cap), lambda p, tbl, cnt: (0, p))]
+        in_specs=[pl.BlockSpec((8, cap), lambda p, tbl, cnt, shf: (0, p))]
         + [make_nbr_spec(k) for k in range(9)],
-        out_specs=pl.BlockSpec((8, cap), lambda p, tbl, cnt: (0, p)),
+        out_specs=pl.BlockSpec((8, cap), lambda p, tbl, cnt, shf: (0, p)),
     )
     return pl.pallas_call(
         kernel,
@@ -326,8 +369,8 @@ def pallas_pencil_sweep(
         out_shape=jax.ShapeDtypeStruct((8, n_slots), pos_slots.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=int(45 * n_slots * 9 * cap),
+            flops=int(37 * n_slots * 9 * cap),
             bytes_accessed=int(4 * 8 * n_slots * 10),
             transcendentals=0,
         ),
-    )(tile_table, counts, pos_slots, *([pos_slots] * 9))
+    )(tile_table, counts, shift_table, pos_slots, *([pos_slots] * 9))
