@@ -104,16 +104,34 @@ def cmd_analyze(args) -> int:
 
 
 def cmd_ensemble(args) -> int:
-    from ljmd_tpu.io.artifacts import write_summary_json
-    from ljmd_tpu.parallel.ensemble import ensemble_simulate
+    from ljmd_tpu.parallel.ensemble import ensemble_simulate, replica_result
     from ljmd_tpu.stats.moments import OBSERVABLES
 
     cfg = _load_cfg(args)
     n_runs = args.n_runs or cfg.n_runs
     t0 = time.time()
-    out = ensemble_simulate(cfg, n_replicas=n_runs, backend=args.backend)
+    per_run = getattr(args, "per_run_dirs", False)
     out_dir = args.out_dir or "outputs"
     os.makedirs(out_dir, exist_ok=True)
+    if per_run:
+        from ljmd_tpu.io.artifacts import write_run_artifacts
+
+        out, results = ensemble_simulate(
+            cfg, n_replicas=n_runs, backend=args.backend, keep_per_replica=True
+        )
+        # per-run directories + run listing (run_many_md parity:
+        # outputs/run_XXXX + several_runs.txt, run_many_md.f90:59,74)
+        run_dirs = []
+        ok = np.asarray(out.replica_ok)
+        for i in range(n_runs):
+            d = os.path.join(out_dir, f"run_{i:04d}")
+            if ok[i]:
+                write_run_artifacts(d, cfg, replica_result(results, i), write_frames=False)
+                run_dirs.append(d)
+        with open(os.path.join(out_dir, "several_runs.txt"), "w") as f:
+            f.write("\n".join(run_dirs) + ("\n" if run_dirs else ""))
+    else:
+        out = ensemble_simulate(cfg, n_replicas=n_runs, backend=args.backend)
 
     # Per-run means.dat-style records + cross-run simulation_results
     means = np.asarray(out.replica_means)
@@ -202,6 +220,11 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--out-dir")
     sp.add_argument("--n-runs", type=int)
+    sp.add_argument(
+        "--per-run-dirs", action="store_true",
+        help="also write run_XXXX/ artifact directories per replica "
+             "(run_many_md parity)",
+    )
     sp.set_defaults(fn=cmd_ensemble)
 
     sp = sub.add_parser("run-all", help="init + simulate + analyze pipeline")

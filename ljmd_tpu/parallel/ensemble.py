@@ -71,10 +71,15 @@ def ensemble_simulate(
     mesh: Optional[Mesh] = None,
     backend: str = "auto",
     jit: bool = True,
-) -> EnsembleResult:
+    keep_per_replica: bool = False,
+):
     """Run ``n_replicas`` independent simulations (default cfg.n_runs) and
     aggregate. Each replica gets its own threefry key; results are
-    bit-identical to running replicas sequentially (vmap semantics)."""
+    bit-identical to running replicas sequentially (vmap semantics).
+
+    With ``keep_per_replica=True`` returns
+    ``(EnsembleResult, batched SimResult)`` so callers can emit per-run
+    artifacts (the reference's run_XXXX directories)."""
     r = cfg.n_runs if n_replicas is None else n_replicas
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
@@ -84,16 +89,23 @@ def ensemble_simulate(
         state = initialize(cfg, k, backend=backend)
         return run_production(cfg, state, backend=backend, record_frames=False)
 
-    def batched(ks) -> EnsembleResult:
+    def batched(ks):
         results = jax.vmap(one)(ks)
-        return ensemble_aggregate(cfg, results)
+        return ensemble_aggregate(cfg, results), results
 
     if mesh is not None:
         keys = jax.device_put(keys, NamedSharding(mesh, P(REPLICA_AXIS, None)))
-        return jax.jit(batched)(keys)
-    if jit:
-        return jax.jit(batched)(keys)
-    return batched(keys)
+        agg, results = jax.jit(batched)(keys)
+    elif jit:
+        agg, results = jax.jit(batched)(keys)
+    else:
+        agg, results = batched(keys)
+    return (agg, results) if keep_per_replica else agg
+
+
+def replica_result(results: SimResult, i: int) -> SimResult:
+    """Slice replica ``i`` out of a vmapped SimResult."""
+    return jax.tree.map(lambda x: x[i], results)
 
 
 def ensemble_aggregate(cfg: SimConfig, results: SimResult) -> EnsembleResult:

@@ -77,6 +77,19 @@ def test_cli_reads_reference_format_config(tmp_path):
     assert not os.path.exists(os.path.join(out_dir, "rva.dat"))
 
 
+def test_cli_ensemble_per_run_dirs(cfg_file, tmp_path):
+    out_dir = str(tmp_path / "ens_dirs")
+    rc = main(["ensemble", "--config", cfg_file, "--out-dir", out_dir,
+               "--n-runs", "2", "--backend", "dense", "--per-run-dirs"])
+    assert rc == 0
+    listing = open(os.path.join(out_dir, "several_runs.txt")).read().split()
+    assert len(listing) == 2
+    for d in listing:
+        assert os.path.exists(os.path.join(d, "summary.json"))
+        assert os.path.exists(os.path.join(d, "corr_epot.dat"))
+        assert os.path.exists(os.path.join(d, "md_final_results.txt"))
+
+
 def test_cli_ensemble(cfg_file, tmp_path):
     out_dir = str(tmp_path / "ens")
     rc = main(["ensemble", "--config", cfg_file, "--out-dir", out_dir,
