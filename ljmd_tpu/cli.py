@@ -70,9 +70,20 @@ def cmd_simulate(args) -> int:
     else:
         state = initialize(cfg, jax.random.PRNGKey(cfg.seed), backend=args.backend)
     record = not args.no_frames
-    out = run_production(cfg, state, backend=args.backend, record_frames=record)
     out_dir = args.out_dir or "outputs/one_run"
-    paths = write_run_artifacts(out_dir, cfg, out, write_frames=record)
+    if getattr(args, "stream", False):
+        # chunked driver: incremental rva.dat + per-chunk checkpoints with
+        # bit-exact resume (models/streaming.py)
+        from ljmd_tpu.models.streaming import run_production_streaming
+
+        out = run_production_streaming(
+            cfg, state, out_dir, backend=args.backend,
+            chunk_samples=args.chunk_samples, write_frames=record,
+        )
+        paths = write_run_artifacts(out_dir, cfg, out, write_frames=False)
+    else:
+        out = run_production(cfg, state, backend=args.backend, record_frames=record)
+        paths = write_run_artifacts(out_dir, cfg, out, write_frames=record)
     elapsed = time.time() - t0
     for k, v in out.diagnostics.items():
         if bool(np.asarray(v)):
@@ -204,6 +215,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out-dir")
     sp.add_argument("--from-init", help="resume from an rv_init.dat snapshot")
     sp.add_argument("--no-frames", action="store_true", help="skip rva.dat frames")
+    sp.add_argument("--stream", action="store_true",
+                    help="chunked streaming driver: incremental trajectory + "
+                         "mid-run checkpoints, resumable after a crash")
+    sp.add_argument("--chunk-samples", type=int, default=64)
     sp.set_defaults(fn=cmd_simulate)
 
     sp = sub.add_parser("analyze", help="post-process a run directory")

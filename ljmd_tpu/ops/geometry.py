@@ -22,10 +22,22 @@ __all__ = ["wrap_positions", "minimum_image"]
 
 
 def wrap_positions(r: jax.Array, box_length, inv_box_length=None) -> jax.Array:
-    """Wrap coordinates into [0, L): x -> x - L * floor(x / L)."""
+    """Wrap coordinates into [0, L): x -> x - L * floor(x / L).
+
+    The naive formula can land exactly ON the boundaries in floating point
+    (a tiny negative x rounds to w == L; the reciprocal-multiply can push
+    floor off by one, giving w < 0 or w == L), so a correction pass enforces
+    the half-open interval strictly — the rc < L/2 minimum-image guarantee
+    depends on it."""
     if inv_box_length is None:
         inv_box_length = 1.0 / box_length
-    return r - box_length * jnp.floor(r * inv_box_length)
+    w = r - box_length * jnp.floor(r * inv_box_length)
+    w = jnp.where(w >= box_length, w - box_length, w)
+    w = jnp.where(w < 0, w + box_length, w)
+    # Denormal-distance edge: x + L == L exactly in floating point, so the
+    # additive corrections can cycle (XLA may also reassociate (x+L)-L back
+    # to x). Anything still outside is within one ulp of a boundary -> 0.
+    return jnp.where((w < 0) | (w >= box_length), 0.0, w)
 
 
 def minimum_image(dr: jax.Array, box_length, inv_box_length=None) -> jax.Array:

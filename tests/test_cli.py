@@ -77,6 +77,19 @@ def test_cli_reads_reference_format_config(tmp_path):
     assert not os.path.exists(os.path.join(out_dir, "rva.dat"))
 
 
+def test_cli_simulate_stream(cfg_file, tmp_path):
+    run_dir = str(tmp_path / "stream_run")
+    rc = main([
+        "simulate", "--config", cfg_file, "--out-dir", run_dir,
+        "--backend", "dense", "--stream", "--chunk-samples", "4",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(run_dir, "rva.dat"))
+    assert os.path.exists(os.path.join(run_dir, "summary.json"))
+    # successful completion removes the mid-run checkpoint
+    assert not os.path.exists(os.path.join(run_dir, "production_checkpoint.npz"))
+
+
 def test_cli_ensemble_per_run_dirs(cfg_file, tmp_path):
     out_dir = str(tmp_path / "ens_dirs")
     rc = main(["ensemble", "--config", cfg_file, "--out-dir", out_dir,
