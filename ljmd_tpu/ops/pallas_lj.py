@@ -179,6 +179,7 @@ def _lj_tri_kernel(
     tile_i: int,
     tile_j: int,
     want_observables: bool = True,
+    approx_reciprocal: bool = False,
 ):
     """Triangular variant: each unordered pair is evaluated ONCE (mask
     gj > gi); the reaction forces go to a per-(i,j) j-side buffer reduced
@@ -223,7 +224,12 @@ def _lj_tri_kernel(
 
         one = jnp.asarray(1.0, r2.dtype)
         r2_safe = jnp.where(mask, r2, one)
-        inv_r2 = jnp.where(mask, one / r2_safe, 0.0)
+        if approx_reciprocal:
+            est = pl.reciprocal(r2_safe, approx=True)
+            recip = est * (2.0 - r2_safe * est)
+        else:
+            recip = one / r2_safe
+        inv_r2 = jnp.where(mask, recip, 0.0)
         inv_r6 = inv_r2 * inv_r2 * inv_r2
         inv_r12 = inv_r6 * inv_r6
 
@@ -258,6 +264,7 @@ def pallas_pair_sweep_tri(
     tile_j: int = 1024,
     interpret: bool = False,
     want_observables: bool = True,
+    approx_reciprocal: bool = False,
 ) -> jax.Array:
     """Triangular counterpart of ``pallas_pair_sweep``. NOTE: scalar rows
     3..5 hold per-pair-ONCE partials, so totals restore with prefactors
@@ -273,6 +280,7 @@ def pallas_pair_sweep_tri(
         tile_i=tile_i,
         tile_j=tile_j,
         want_observables=want_observables,
+        approx_reciprocal=approx_reciprocal and not interpret,
     )
     out1, out2 = pl.pallas_call(
         kernel,
