@@ -396,6 +396,7 @@ def _cellpair_engine(
         return pallas_pencil_sweep(
             pos, tile_table, counts, grid, cfg.rc_square,
             tile_i=TILE_I, interpret=interpret, want_observables=want_obs,
+            approx_reciprocal=True,
         )
 
     def _windows(r8, valid, counts):

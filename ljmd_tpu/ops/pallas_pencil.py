@@ -80,6 +80,7 @@ def _pencil_kernel(
     rc_square: float,
     capacity: int,
     want_observables: bool = True,
+    approx_reciprocal: bool = False,
 ):
     nbr_refs = refs[:9]
     out_ref = refs[9]
@@ -144,7 +145,12 @@ def _pencil_kernel(
 
                     one = jnp.asarray(1.0, r2.dtype)
                     r2_safe = jnp.where(mask, r2, one)
-                    inv_r2 = jnp.where(mask, one / r2_safe, 0.0)
+                    if approx_reciprocal:
+                        est = pl.reciprocal(r2_safe, approx=True)
+                        recip = est * (2.0 - r2_safe * est)
+                    else:
+                        recip = one / r2_safe
+                    inv_r2 = jnp.where(mask, recip, 0.0)
                     inv_r6 = inv_r2 * inv_r2 * inv_r2
                     inv_r12 = inv_r6 * inv_r6
 
@@ -330,6 +336,7 @@ def pallas_pencil_sweep(
     interpret: bool = False,
     want_observables: bool = True,
     shift_table: jax.Array | None = None,
+    approx_reciprocal: bool = False,
 ) -> jax.Array:
     """(8, n_slots) -> (8, n_slots) structured pair sweep (see module doc).
 
@@ -349,6 +356,7 @@ def pallas_pencil_sweep(
         rc_square=float(rc_square),
         capacity=cap,
         want_observables=want_observables,
+        approx_reciprocal=approx_reciprocal and not interpret,
     )
 
     def make_nbr_spec(k):
