@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ljmd_tpu.config import SimConfig
 from ljmd_tpu.ops.lj import LJResult, tail_corrections
+from ljmd_tpu.ops.pallas_common import lj_pair_terms
 
 __all__ = ["lj_force_energy_pallas", "make_pallas_force_fn"]
 
@@ -88,28 +89,12 @@ def _lj_tile_kernel(
     gj = j * tile_j + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
     mask = (r2 < rc_square) & (gi != gj) & (gj < n) & (gi < n)
 
-    one = jnp.asarray(1.0, r2.dtype)
-    r2_safe = jnp.where(mask, r2, one)
-    if approx_reciprocal:
-        # Fast reciprocal + one Newton-Raphson step: ~f32 accuracy at a
-        # fraction of the divide latency on the VPU.
-        est = pl.reciprocal(r2_safe, approx=True)
-        recip = est * (2.0 - r2_safe * est)
-    else:
-        recip = one / r2_safe
-    inv_r2 = jnp.where(mask, recip, 0.0)
-    inv_r6 = inv_r2 * inv_r2 * inv_r2
-    inv_r12 = inv_r6 * inv_r6
-
-    du = inv_r6 - 2.0 * inv_r12              # (r dU/dr)/24 per pair
-    coef = -du * inv_r2                      # force/(24 dr) per pair
+    coef, du, e, ddu = lj_pair_terms(r2, mask, approx_reciprocal, want_observables)
 
     out_ref[0, :] += jnp.sum(coef * dx, axis=1)
     out_ref[1, :] += jnp.sum(coef * dy, axis=1)
     out_ref[2, :] += jnp.sum(coef * dz, axis=1)
     if want_observables:
-        e = inv_r12 - inv_r6                 # U/4 per pair (0 when masked)
-        ddu = 26.0 * inv_r12 - 7.0 * inv_r6  # (r^2 d2U/dr2)/24 per pair
         out_ref[3, :] += jnp.sum(e, axis=1)
         out_ref[4, :] += jnp.sum(du, axis=1)
         out_ref[5, :] += jnp.sum(ddu, axis=1)
@@ -222,19 +207,7 @@ def _lj_tri_kernel(
         gj = j * tile_j + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
         mask = (r2 < rc_square) & (gj > gi) & (gj < n)
 
-        one = jnp.asarray(1.0, r2.dtype)
-        r2_safe = jnp.where(mask, r2, one)
-        if approx_reciprocal:
-            est = pl.reciprocal(r2_safe, approx=True)
-            recip = est * (2.0 - r2_safe * est)
-        else:
-            recip = one / r2_safe
-        inv_r2 = jnp.where(mask, recip, 0.0)
-        inv_r6 = inv_r2 * inv_r2 * inv_r2
-        inv_r12 = inv_r6 * inv_r6
-
-        du = inv_r6 - 2.0 * inv_r12
-        coef = -du * inv_r2
+        coef, du, e, ddu = lj_pair_terms(r2, mask, approx_reciprocal, want_observables)
 
         fx = coef * dx
         fy = coef * dy
@@ -243,8 +216,6 @@ def _lj_tri_kernel(
         out1_ref[1, :] += jnp.sum(fy, axis=1)
         out1_ref[2, :] += jnp.sum(fz, axis=1)
         if want_observables:
-            e = inv_r12 - inv_r6
-            ddu = 26.0 * inv_r12 - 7.0 * inv_r6
             out1_ref[3, :] += jnp.sum(e, axis=1)
             out1_ref[4, :] += jnp.sum(du, axis=1)
             out1_ref[5, :] += jnp.sum(ddu, axis=1)

@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ljmd_tpu.ops.cell_list import PencilGrid
+from ljmd_tpu.ops.pallas_common import lj_pair_terms
 
 __all__ = ["pallas_pencil_sweep", "build_tile_table", "TILE_I"]
 
@@ -143,26 +144,14 @@ def _pencil_kernel(
                     )
                     mask = (r2 < rc_square) & (gi != gj) & (vi * vj > 0.5)
 
-                    one = jnp.asarray(1.0, r2.dtype)
-                    r2_safe = jnp.where(mask, r2, one)
-                    if approx_reciprocal:
-                        est = pl.reciprocal(r2_safe, approx=True)
-                        recip = est * (2.0 - r2_safe * est)
-                    else:
-                        recip = one / r2_safe
-                    inv_r2 = jnp.where(mask, recip, 0.0)
-                    inv_r6 = inv_r2 * inv_r2 * inv_r2
-                    inv_r12 = inv_r6 * inv_r6
-
-                    du = inv_r6 - 2.0 * inv_r12
-                    coef = -du * inv_r2
+                    coef, du, e, ddu = lj_pair_terms(
+                        r2, mask, approx_reciprocal, want_observables
+                    )
 
                     out_ref[0, isl] += jnp.sum(coef * dx, axis=1)
                     out_ref[1, isl] += jnp.sum(coef * dy, axis=1)
                     out_ref[2, isl] += jnp.sum(coef * dz, axis=1)
                     if want_observables:
-                        e = inv_r12 - inv_r6
-                        ddu = 26.0 * inv_r12 - 7.0 * inv_r6
                         out_ref[3, isl] += jnp.sum(e, axis=1)
                         out_ref[4, isl] += jnp.sum(du, axis=1)
                         out_ref[5, isl] += jnp.sum(ddu, axis=1)
@@ -240,21 +229,12 @@ def _pencil_zband_kernel(
                     )
                     mask = mask & jnp.logical_not(covered_by_a)
 
-                one = jnp.asarray(1.0, r2.dtype)
-                r2_safe = jnp.where(mask, r2, one)
-                inv_r2 = jnp.where(mask, one / r2_safe, 0.0)
-                inv_r6 = inv_r2 * inv_r2 * inv_r2
-                inv_r12 = inv_r6 * inv_r6
-
-                du = inv_r6 - 2.0 * inv_r12
-                coef = -du * inv_r2
+                coef, du, e, ddu = lj_pair_terms(r2, mask, False, want_observables)
 
                 out_ref[0, isl] += jnp.sum(coef * dx, axis=1)
                 out_ref[1, isl] += jnp.sum(coef * dy, axis=1)
                 out_ref[2, isl] += jnp.sum(coef * dz, axis=1)
                 if want_observables:
-                    e = inv_r12 - inv_r6
-                    ddu = 26.0 * inv_r12 - 7.0 * inv_r6
                     out_ref[3, isl] += jnp.sum(e, axis=1)
                     out_ref[4, isl] += jnp.sum(du, axis=1)
                     out_ref[5, isl] += jnp.sum(ddu, axis=1)
