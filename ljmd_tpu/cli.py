@@ -166,6 +166,17 @@ def cmd_ensemble(args) -> int:
     with open(os.path.join(out_dir, "simulation_results.json"), "w") as f:
         json.dump(results, f, indent=2)
 
+    # cross-run-averaged correlation curves (ensemble ACF blocks)
+    from ljmd_tpu.io.artifacts import CORR_OBS, write_corr_file
+
+    cm = np.asarray(out.corr_mean_runs)
+    cnm = np.asarray(out.corr_norm_mean_runs)
+    for i, obs in enumerate(CORR_OBS):
+        write_corr_file(
+            os.path.join(out_dir, f"corrmean_runs_{obs}.dat"), cm[i], cnm[i],
+            block_mean=True,
+        )
+
     # human-readable simulation_results.txt (the reference aggregator's output)
     with open(os.path.join(out_dir, "simulation_results.txt"), "w") as f:
         f.write(f"# cross-run statistics over {n_runs} runs\n")

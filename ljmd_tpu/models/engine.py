@@ -322,6 +322,8 @@ class PencilCarry:
     win_a: jax.Array
     win_b: jax.Array
     use_b: jax.Array
+    rc: jax.Array
+    vc: jax.Array
     overflow: jax.Array
 
 
@@ -385,6 +387,9 @@ def _cellpair_engine(
     )
     row_mask = jnp.zeros((8, 1), dtype).at[0:3].set(1.0)   # keep only forces
     xyz_mask = row_mask                                    # zero deltas on aux rows
+    # Same compensation policy as the rows engine: f32 at small dt loses the
+    # velocity-increment bits without it.
+    compensated = (cfg.compensated_sum or cfg.dt <= 1.0e-3) and dtype == jnp.float32
 
     def sweep(pos, counts, wins, want_obs=True):
         if z_band:
@@ -443,9 +448,11 @@ def _cellpair_engine(
         out = sweep(r8, counts, wins)
         a8 = 24.0 * out * row_mask
         ekin = 0.5 * jnp.sum(v8 * v8)
+        zero = jnp.zeros_like(r8)
         carry = PencilCarry(
             r=r8, ru=ru8, v=v8, a=a8, r_ref=r8, counts=counts,
             win_a=wins[0], win_b=wins[1], use_b=wins[2],
+            rc=zero, vc=zero,
             overflow=overflow | w_ovf,
         )
         return carry, obs_from(out, ekin)
@@ -462,16 +469,24 @@ def _cellpair_engine(
         # which the static xy image-shift tables of the pencil kernel rely
         # on; wrapping happens at rebin (and in get_state).
         delta = (c.v * dt + c.a * half_dt_sq) * xyz_mask
-        r_new = c.r + delta
-        v_half = c.v + c.a * half_dt
+        if compensated:
+            r_new, rc_new = _comp_add(c.r, c.rc, delta)
+            v_half, vc_half = _comp_add(c.v, c.vc, c.a * half_dt)
+        else:
+            r_new = c.r + delta
+            rc_new = c.rc
+            v_half, vc_half = c.v + c.a * half_dt, c.vc
         ru_new = c.ru + delta
 
         d = minimum_image(r_new[0:3] - c.r_ref[0:3], L)
         moved = jnp.max(jnp.sum(d * d, axis=0) * r_new[3]) > rebuild_thresh
 
         def do_rebin(args):
-            r8, ru8, v8 = args
+            r8, ru8, v8, rc8, vc8 = args
             # wrap back into [0, L) before re-binning (pencil ids clip).
+            # Position compensation is reset: the wrap makes its low bits
+            # stale (velocity compensation is the one that matters and it
+            # permutes with the slots).
             r8 = r8.at[0:3].set(wrap_positions(r8[0:3], L))
             new_slot, overflow = rebin_slots(r8, r8[3, :], grid)
 
@@ -484,28 +499,35 @@ def _cellpair_engine(
             counts_p = _counts_from_valid(r8p[3, :])
             wins_p, w_ovf = _windows(r8p, r8p[3, :], counts_p)
             return (
-                r8p, permute(ru8), permute(v8), r8p, counts_p,
+                r8p, permute(ru8), permute(v8),
+                jnp.zeros_like(r8p), permute(vc8),
+                r8p, counts_p,
                 wins_p[0], wins_p[1], wins_p[2], overflow | w_ovf,
             )
 
         def no_rebin(args):
-            r8, ru8, v8 = args
+            r8, ru8, v8, rc8, vc8 = args
             return (
-                r8, ru8, v8, c.r_ref, c.counts,
+                r8, ru8, v8, rc8, vc8, c.r_ref, c.counts,
                 c.win_a, c.win_b, c.use_b, jnp.asarray(False),
             )
 
-        r_new, ru_new, v_half, r_ref, counts, wa, wb, ub, ovf = lax.cond(
-            moved, do_rebin, no_rebin, (r_new, ru_new, v_half)
+        r_new, ru_new, v_half, rc_new, vc_half, r_ref, counts, wa, wb, ub, ovf = lax.cond(
+            moved, do_rebin, no_rebin, (r_new, ru_new, v_half, rc_new, vc_half)
         )
 
         out = sweep(r_new, counts, (wa, wb, ub), want_obs)
         a_new = 24.0 * out * row_mask
-        v_new = v_half + a_new * half_dt
-        ekin = 0.5 * jnp.sum(v_new * v_new)
+        if compensated:
+            v_new, vc_new = _comp_add(v_half, vc_half, a_new * half_dt)
+            v_eff = v_new + vc_new
+        else:
+            v_new, vc_new = v_half + a_new * half_dt, vc_half
+            v_eff = v_new
+        ekin = 0.5 * jnp.sum(v_eff * v_eff)
         carry = PencilCarry(
             r=r_new, ru=ru_new, v=v_new, a=a_new, r_ref=r_ref, counts=counts,
-            win_a=wa, win_b=wb, use_b=ub,
+            win_a=wa, win_b=wb, use_b=ub, rc=rc_new, vc=vc_new,
             overflow=c.overflow | ovf,
         )
         return carry, obs_from(out, ekin)
@@ -528,10 +550,11 @@ def _cellpair_engine(
             out = out.at[ids].set(arr[0:3, :].T)
             return out[:n]
 
+        v8 = c.v + c.vc if compensated else c.v
         return MDState(
             r=wrap_positions(gather(c.r), L),
             ru=gather(c.ru),
-            v=gather(c.v),
+            v=gather(v8),
             a=gather(c.a),
         )
 

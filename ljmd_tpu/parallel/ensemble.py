@@ -52,6 +52,12 @@ class EnsembleResult:
     thermo: ThermoCoefs
     series: jax.Array  # (R, 5, n_samples)
     replica_ok: jax.Array  # (R,) bool: replica produced finite means
+    # Cross-run-averaged correlation curves (5, max_lag+1): the ensemble
+    # analogue of the reference's block-averaged ACFs — every replica is an
+    # independent block, so <C(lag)>_runs / <C_norm(lag)>_runs are the
+    # highest-quality correlation estimates the framework produces.
+    corr_mean_runs: jax.Array
+    corr_norm_mean_runs: jax.Array
 
     def named_cross_run(self) -> dict:
         return {
@@ -126,6 +132,12 @@ def ensemble_aggregate(cfg: SimConfig, results: SimResult) -> EnsembleResult:
     # Per-replica thermodynamic coefficients: the algebra is elementwise, so
     # it maps over the batched MeansReport directly.
     thermo = thermo_coefs_from_report(cfg.n, cfg.volume, results.means)
+    # Cross-run ACF averages over valid replicas (each replica = one block).
+    wc = w[:, :, None]
+    corr_safe = jnp.where(jnp.isfinite(results.corr), results.corr, 0.0)
+    corrn_safe = jnp.where(jnp.isfinite(results.corr_norm), results.corr_norm, 0.0)
+    corr_mean_runs = jnp.sum(corr_safe * wc, axis=0) / n_ok
+    corr_norm_mean_runs = jnp.sum(corrn_safe * wc, axis=0) / n_ok
     return EnsembleResult(
         replica_means=means,
         replica_stds=stds,
@@ -134,4 +146,6 @@ def ensemble_aggregate(cfg: SimConfig, results: SimResult) -> EnsembleResult:
         thermo=thermo,
         series=results.series,
         replica_ok=ok,
+        corr_mean_runs=corr_mean_runs,
+        corr_norm_mean_runs=corr_norm_mean_runs,
     )

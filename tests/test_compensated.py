@@ -55,6 +55,42 @@ def test_compensation_reduces_f32_error():
     assert err_comp < err_plain * 0.5, (err_comp, err_plain)
 
 
+def test_cellpair_compensation_reduces_f32_error():
+    """Same oracle comparison for the pencil engine (its own Kahan path)."""
+    import jax.numpy as jnp
+
+    from ljmd_tpu.models.engine import _cellpair_engine
+
+    base = dict(
+        num_cells=5, density=0.66, dt=1e-4, total_steps=10,
+        warmup_steps=0, target_total_energy=-2000.0, seed=4,
+        neighbor_skin=0.4,
+    )
+    cfg64 = config_from_density(dtype="float64", **base)
+    state64 = initialize(cfg64, backend="dense")
+    state32 = jax.tree.map(lambda x: x.astype(jnp.float32), state64)
+
+    n_steps = 300
+    s64, _ = run_engine(make_engine(cfg64, "dense"), state64, n_steps)
+
+    cfg32 = config_from_density(dtype="float32", **base)
+    # compensation auto-enables at dt=1e-4; build a plain variant by faking
+    # a large dt in policy only via compensated_sum False + dt bump? The
+    # engine has no explicit override, so compare compensated f32 against
+    # plain f32 from the ROWS engine oracle instead: the cellpair result
+    # must track the f64 oracle at least as well as plain f32 does.
+    from ljmd_tpu.models.engine import _pallas_rows_engine
+
+    s_cell, _ = run_engine(_cellpair_engine(cfg32, interpret=True), state32, n_steps)
+    s_plain, _ = run_engine(
+        _pallas_rows_engine(cfg32, interpret=True, compensated=False), state32, n_steps
+    )
+    ref_v = np.asarray(s64.v)
+    err_cell = np.abs(np.asarray(s_cell.v, dtype=np.float64) - ref_v).max()
+    err_plain = np.abs(np.asarray(s_plain.v, dtype=np.float64) - ref_v).max()
+    assert err_cell < err_plain * 0.5, (err_cell, err_plain)
+
+
 def test_compensated_config_flag_roundtrip():
     cfg = config_from_density(num_cells=2, density=0.7, compensated_sum=True)
     assert cfg.compensated_sum

@@ -87,6 +87,16 @@ def test_ensemble_matches_sequential_runs():
     # per-replica thermo coefficients are finite and batched
     assert out.thermo.temperature.shape == (3,)
     assert bool(jnp.isfinite(out.thermo.Ca_v).all())
+    # cross-run ACF average equals the mean of per-replica ACFs
+    per_replica_corr = []
+    for i in range(3):
+        state = initialize(cfg, keys[i], backend="dense")
+        res = run_production(cfg, state, backend="dense")
+        per_replica_corr.append(np.asarray(res.corr))
+    np.testing.assert_allclose(
+        np.asarray(out.corr_mean_runs), np.mean(per_replica_corr, axis=0),
+        rtol=1e-10, atol=1e-12,
+    )
 
 
 def test_ensemble_on_mesh_matches_unsharded():
