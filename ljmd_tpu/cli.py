@@ -47,12 +47,32 @@ def cmd_init_config(args) -> int:
     t0 = time.time()
     state = initialize(cfg, jax.random.PRNGKey(args.seed if args.seed is not None else cfg.seed),
                        backend=args.backend)
+    _check_initialized(state, cfg)
     out = args.out or "outputs/rv_init.dat"
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     save_rv_init(out, state)
     print(f"wrote {out} (N={cfg.n}, warmup={cfg.warmup_steps} steps, "
           f"{time.time()-t0:.1f}s)")
     return 0
+
+
+def _check_initialized(state, cfg) -> None:
+    """Fail fast on an unusable initial state (the reference stops inside
+    rescale_velocities_to_target_energy when E_target < U,
+    md_initial_config_program.f90:257; our pure-jnp init surfaces that as
+    NaN velocities instead — catch it here before burning a full run)."""
+    from ljmd_tpu.utils.debug import validate_state
+
+    try:
+        validate_state(state, cfg.box_length)
+    except FloatingPointError as e:
+        raise SystemExit(
+            f"error: initial state is not finite ({e}). Most common cause: "
+            f"target_total_energy={cfg.target_total_energy} is below the "
+            "potential energy of the initial lattice, so the velocity "
+            "rescale has no solution (reference aborts with 'target energy "
+            "too low'). Raise target_total_energy."
+        ) from e
 
 
 def cmd_simulate(args) -> int:
@@ -69,6 +89,7 @@ def cmd_simulate(args) -> int:
         state = load_rv_init(args.from_init, cfg.n, dtype=jnp.dtype(cfg.dtype))
     else:
         state = initialize(cfg, jax.random.PRNGKey(cfg.seed), backend=args.backend)
+    _check_initialized(state, cfg)
     record = not args.no_frames
     out_dir = args.out_dir or "outputs/one_run"
     if getattr(args, "stream", False):
@@ -213,7 +234,7 @@ def build_parser() -> argparse.ArgumentParser:
     def common(sp):
         sp.add_argument("--config", help="reference block-text or JSON config file")
         sp.add_argument("--backend", default="auto",
-                        choices=["auto", "dense", "pallas", "neighbor"])
+                        choices=["auto", "dense", "pallas", "neighbor", "cellpair"])
 
     sp = sub.add_parser("init-config", help="build + warm up an initial configuration")
     common(sp)

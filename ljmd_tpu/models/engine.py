@@ -188,7 +188,10 @@ def _pallas_rows_engine(
             interpret = True
 
     n = cfg.n
-    tile_i = 128 if n >= 128 else 8   # best v5e shape: long lanes, short sublanes
+    # tile_i/tile_j are both LANE dimensions of their block specs, so each
+    # must be a multiple of 128 on real TPUs (interpret mode is laxer and
+    # masked this for tiny N). Best v5e shape: TI=128, TJ=1024.
+    tile_i = 128
     tile_j = 1024 if n >= 1024 else 128
     n_pad = _round_up(n, max(tile_i, tile_j))
     L = cfg.box_length

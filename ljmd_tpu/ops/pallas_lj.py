@@ -355,8 +355,9 @@ def make_pallas_force_fn(cfg: SimConfig, interpret: bool | None = None):
         except Exception:  # pragma: no cover
             interpret = True
 
-    # Tile sizes: best measured on v5e (TI=128, TJ=1024); shrink for tiny N.
-    tile_i = 128 if cfg.n >= 128 else 8
+    # Tile sizes: best measured on v5e (TI=128, TJ=1024). Both are lane
+    # dims of their block specs -> must stay multiples of 128 on hardware.
+    tile_i = 128
     tile_j = 1024 if cfg.n >= 1024 else 128
 
     def force(r: jax.Array) -> LJResult:
