@@ -65,6 +65,29 @@ class TrajectoryWriter:
     def frames_written(self) -> int:
         return self._frames_written
 
+    @classmethod
+    def open_for_append(
+        cls,
+        path: str,
+        n: int,
+        box_length: float,
+        dt: float,
+        output_interval: int,
+        frames_present: int,
+    ) -> "TrajectoryWriter":
+        """Reopen an existing (partially written) rva.dat to append more
+        frames — the resume path of the streaming driver. The caller supplies
+        the number of frames already on disk (from its checkpoint);
+        ``close()`` patches the header with the final total as usual."""
+        self = cls.__new__(cls)
+        self.path = path
+        self.n = n
+        self._frames_written = frames_present
+        self._header_args = (n, float(box_length), float(dt), int(output_interval))
+        self._f = open(path, "r+b")
+        self._f.seek(0, os.SEEK_END)
+        return self
+
     def close(self) -> None:
         if self._f.closed:
             return

@@ -38,13 +38,19 @@ class Engine(NamedTuple):
     get_state(carry) -> MDState; diagnostics(carry) -> dict of arrays.
     ``step_fast`` advances WITHOUT computing energy/virial observables
     (returns garbage obs) — drivers use it for the un-sampled steps between
-    samples, saving the e/du/ddu kernel work (~10%)."""
+    samples, saving the e/du/ddu kernel work (~10%).
+    ``run_fast(carry, n_steps)`` (n_steps static), when not None, advances
+    n_steps observable-free steps in fused multi-step kernels — removing the
+    per-scan-iteration launch floor (~15-20us/step on this runtime). Its
+    trajectory is numerically equivalent to n_steps x step_fast but NOT
+    bit-identical (wrap timing and reduction order differ)."""
 
     init: Callable[[MDState], tuple[Any, StepObs]]
     step: Callable[[Any], tuple[Any, StepObs]]
     get_state: Callable[[Any], MDState]
     diagnostics: Callable[[Any], dict]
     step_fast: Callable[[Any], tuple[Any, StepObs]] = None
+    run_fast: Callable[[Any, int], Any] = None
 
 
 def _force_engine(cfg: SimConfig, backend: str) -> Engine:
@@ -301,9 +307,33 @@ def _pallas_rows_engine(
             a=c.a[0:3, :n].T,
         )
 
+    def run_fast(c: RowCarry, n_steps: int) -> RowCarry:
+        """Fused multi-step advance: the whole Verlet loop inside single
+        Pallas programs (chunks of <= MAX_CHUNK_STEPS), with the unwrap
+        update and the [0, L) wrap applied once per chunk (exact: positions
+        are never wrapped inside a chunk)."""
+        from ljmd_tpu.ops.pallas_fused import MAX_CHUNK_STEPS, fused_dense_chunk
+
+        r, ru, v, a = c.r, c.ru, c.v, c.a
+        remaining = n_steps
+        while remaining > 0:
+            k = min(MAX_CHUNK_STEPS, remaining)
+            r_end, v, a = fused_dense_chunk(
+                r, v, a, n, L, cfg.rc_square, dt, k,
+                tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+                approx_reciprocal=True,
+            )
+            ru = ru + (r_end - r)
+            r = wrap_positions(r_end, L)
+            remaining -= k
+        return RowCarry(r=r, ru=ru, v=v, a=a, rc=c.rc, vc=c.vc)
+
     return Engine(
         init=init, step=step, get_state=get_state,
         diagnostics=lambda c: {}, step_fast=step_fast,
+        # Compensated mode needs the per-step Neumaier carries — keep the
+        # step-granular path there (auto-enabled only at dt <= 1e-3).
+        run_fast=None if compensated else run_fast,
     )
 
 

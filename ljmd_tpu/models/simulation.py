@@ -134,14 +134,17 @@ def _cadence(cfg: SimConfig):
 # ----------------------------------------------------------------------
 # Core scans
 # ----------------------------------------------------------------------
-def _advance(carry, step_fn, n_steps: int, dtype, fast_fn=None, want_obs=True):
+def _advance(carry, step_fn, n_steps: int, dtype, fast_fn=None, want_obs=True,
+             run_fast=None):
     """Advance n_steps (static), returning the final carry and the
     observables of the LAST step (carried, not materialized per step).
 
     When the engine provides an observable-free fast step, the first
     n_steps-1 steps use it (the reference only consumes observables at the
     sampling step, md_simulation_program.f90:361); pass want_obs=False for
-    fully-unsampled stretches (prologue/epilogue/warmup)."""
+    fully-unsampled stretches (prologue/epilogue/warmup). When the engine
+    provides ``run_fast``, the un-sampled stretch runs in fused multi-step
+    kernels instead of a per-step scan."""
     dummy = StepObs(*(jnp.zeros((), dtype),) * 4)
     if n_steps == 0:
         return carry, dummy
@@ -153,7 +156,10 @@ def _advance(carry, step_fn, n_steps: int, dtype, fast_fn=None, want_obs=True):
 
     n_fast = n_steps if not want_obs else n_steps - 1
     if n_fast > 0:
-        carry, _ = lax.scan(fast_body, carry, None, length=n_fast)
+        if run_fast is not None:
+            carry = run_fast(carry, n_fast)
+        else:
+            carry, _ = lax.scan(fast_body, carry, None, length=n_fast)
     if not want_obs:
         return carry, dummy
     return step_fn(carry)
@@ -190,7 +196,7 @@ def initialize(
         carry, _ = engine.init(state)
         carry, _ = _advance(
             carry, engine.step, cfg.warmup_steps, dtype,
-            fast_fn=engine.step_fast, want_obs=False,
+            fast_fn=engine.step_fast, want_obs=False, run_fast=engine.run_fast,
         )
         state = engine.get_state(carry)
     # Reset unwrapped coordinates: production starts its own MSD clock with
@@ -224,7 +230,7 @@ def run_production(
     if prologue:
         ecarry, _ = _advance(
             ecarry, engine.step, prologue, dtype,
-            fast_fn=engine.step_fast, want_obs=False,
+            fast_fn=engine.step_fast, want_obs=False, run_fast=engine.run_fast,
         )
 
     means0 = means_init(dtype=dtype)
@@ -232,7 +238,7 @@ def run_production(
     def sample_body(carry, _):
         ec, acc = carry
         ec, ob = _advance(
-            ec, engine.step, cfg.output_interval, dtype, fast_fn=engine.step_fast
+            ec, engine.step, cfg.output_interval, dtype, fast_fn=engine.step_fast, run_fast=engine.run_fast
         )
         acc = means_update(acc, ob, cfg.n, cfg.volume)
         temp, press = instantaneous_temp_press(ob, cfg.n, cfg.volume)
@@ -248,7 +254,7 @@ def run_production(
     if epilogue:
         ecarry, _ = _advance(
             ecarry, engine.step, epilogue, dtype,
-            fast_fn=engine.step_fast, want_obs=False,
+            fast_fn=engine.step_fast, want_obs=False, run_fast=engine.run_fast,
         )
     state = engine.get_state(ecarry)
     diagnostics = engine.diagnostics(ecarry)

@@ -108,7 +108,7 @@ def run_production_streaming(
         if prologue:
             ecarry, _ = _advance(
                 ecarry, engine.step, prologue, dtype,
-                fast_fn=engine.step_fast, want_obs=False,
+                fast_fn=engine.step_fast, want_obs=False, run_fast=engine.run_fast,
             )
 
     @partial(jax.jit, static_argnames=("k",))
@@ -117,7 +117,7 @@ def run_production_streaming(
             ec_, acc_ = carry
             ec_, ob = _advance(
                 ec_, engine.step, cfg.output_interval, dtype,
-                fast_fn=engine.step_fast,
+                fast_fn=engine.step_fast, run_fast=engine.run_fast,
             )
             acc_ = means_update(acc_, ob, cfg.n, cfg.volume)
             temp, press = instantaneous_temp_press(ob, cfg.n, cfg.volume)
@@ -130,14 +130,16 @@ def run_production_streaming(
 
     writer = None
     if write_frames:
-        mode = "ab" if resumed is not None else "wb"
         if resumed is None or not os.path.exists(os.path.join(out_dir, "rva.dat")):
             writer = TrajectoryWriter(
                 os.path.join(out_dir, "rva.dat"), cfg.n, cfg.box_length, cfg.dt,
                 cfg.output_interval, n_samples,
             )
         else:
-            writer = _ReopenWriter(out_dir, cfg, n_samples, start_sample)
+            writer = TrajectoryWriter.open_for_append(
+                os.path.join(out_dir, "rva.dat"), cfg.n, cfg.box_length,
+                cfg.dt, cfg.output_interval, start_sample,
+            )
 
     sample_idx = start_sample
     try:
@@ -157,7 +159,7 @@ def run_production_streaming(
     if epilogue:
         ecarry, _ = _advance(
             ecarry, engine.step, epilogue, dtype,
-            fast_fn=engine.step_fast, want_obs=False,
+            fast_fn=engine.step_fast, want_obs=False, run_fast=engine.run_fast,
         )
     final_state = engine.get_state(ecarry)
     diagnostics = engine.diagnostics(ecarry)
@@ -198,24 +200,3 @@ def run_production_streaming(
     if os.path.exists(ckpt):
         os.remove(ckpt)
     return result
-
-
-class _ReopenWriter:
-    """Append to an existing (partially written) rva.dat on resume."""
-
-    def __init__(self, out_dir: str, cfg: SimConfig, n_samples: int, frames_present: int):
-        path = os.path.join(out_dir, "rva.dat")
-        self._writer = TrajectoryWriter.__new__(TrajectoryWriter)
-        self._writer.path = path
-        self._writer.n = cfg.n
-        self._writer._frames_written = frames_present
-        self._writer._header_args = (cfg.n, float(cfg.box_length), float(cfg.dt), int(cfg.output_interval))
-        self._writer._f = open(path, "r+b")
-        # position at end for appends
-        self._writer._f.seek(0, os.SEEK_END)
-
-    def append(self, *frames):
-        self._writer.append(*frames)
-
-    def close(self):
-        self._writer.close()
