@@ -209,12 +209,15 @@ def run_production(
     state: MDState,
     backend: str = "auto",
     record_frames: bool = False,
+    engine=None,
 ) -> SimResult:
     """Production run (md_simulation_program.f90:300-391 + finalization).
 
-    One jitted scan; all statistics accumulate on device.
+    One jitted scan; all statistics accumulate on device. Pass ``engine`` to
+    supply a pre-built Engine (e.g. the particle-sharded multi-chip engine
+    from ``parallel.spatial.make_spatial_engine``) instead of ``backend``.
     """
-    engine = make_engine(cfg, backend)
+    engine = engine or make_engine(cfg, backend)
     prologue, n_samples, epilogue = _cadence(cfg)
     if n_samples == 0:
         raise ValueError(

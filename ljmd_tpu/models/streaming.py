@@ -85,12 +85,13 @@ def run_production_streaming(
     chunk_samples: int = 64,
     write_frames: bool = True,
     resume: bool = True,
+    engine=None,
 ) -> SimResult:
     """Streaming production run. Artifacts land in ``out_dir`` incrementally:
     rva.dat grows per chunk, production_checkpoint.npz is refreshed per chunk
     (and removed on successful completion)."""
     os.makedirs(out_dir, exist_ok=True)
-    engine = make_engine(cfg, backend)
+    engine = engine or make_engine(cfg, backend)
     prologue, n_samples, epilogue = _cadence(cfg)
     if n_samples == 0:
         raise ValueError("no samples would be taken")

@@ -278,6 +278,132 @@ def pallas_pair_sweep_tri(
     return out1 + jnp.sum(out2, axis=0)
 
 
+def _lj_rect_kernel(
+    gi0_ref,    # scalar-prefetch: (1,) int32 global index offset of the i rows
+    gj0_ref,    # scalar-prefetch: (1,) int32 global index offset of the j rows
+    pos_i_ref,  # (8, TI) VMEM
+    pos_j_ref,  # (8, TJ) VMEM
+    out_ref,    # (8, TI) VMEM accumulator
+    *,
+    box_length: float,
+    inv_box_length: float,
+    rc_square: float,
+    n_i: int,
+    n_j: int,
+    tile_i: int,
+    tile_j: int,
+    approx_reciprocal: bool = False,
+    want_observables: bool = True,
+):
+    """Rectangular variant of the tile kernel for DISTINCT i/j position sets
+    (the sharded multi-chip path: local i rows against a ring-passed j
+    block). Self-pairs are excluded by GLOBAL index (gi0 + row == gj0 + col),
+    with the offsets passed as scalar prefetch because they depend on
+    ``lax.axis_index`` inside shard_map (traced, not static)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    xi = pos_i_ref[0, :].reshape(tile_i, 1)
+    yi = pos_i_ref[1, :].reshape(tile_i, 1)
+    zi = pos_i_ref[2, :].reshape(tile_i, 1)
+    xj = pos_j_ref[0, :].reshape(1, tile_j)
+    yj = pos_j_ref[1, :].reshape(1, tile_j)
+    zj = pos_j_ref[2, :].reshape(1, tile_j)
+
+    L = box_length
+    inv_l = inv_box_length
+    dx = xi - xj
+    dy = yi - yj
+    dz = zi - zj
+    dx = dx - L * jnp.round(dx * inv_l)
+    dy = dy - L * jnp.round(dy * inv_l)
+    dz = dz - L * jnp.round(dz * inv_l)
+    r2 = dx * dx + dy * dy + dz * dz
+
+    li = i * tile_i + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
+    lj_ = j * tile_j + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
+    gi = gi0_ref[0] + li
+    gj = gj0_ref[0] + lj_
+    mask = (r2 < rc_square) & (gi != gj) & (lj_ < n_j) & (li < n_i)
+
+    coef, du, e, ddu = lj_pair_terms(r2, mask, approx_reciprocal, want_observables)
+
+    out_ref[0, :] += jnp.sum(coef * dx, axis=1)
+    out_ref[1, :] += jnp.sum(coef * dy, axis=1)
+    out_ref[2, :] += jnp.sum(coef * dz, axis=1)
+    if want_observables:
+        out_ref[3, :] += jnp.sum(e, axis=1)
+        out_ref[4, :] += jnp.sum(du, axis=1)
+        out_ref[5, :] += jnp.sum(ddu, axis=1)
+
+
+def pallas_pair_sweep_rect(
+    pos_i: jax.Array,
+    pos_j: jax.Array,
+    n_i: int,
+    n_j: int,
+    gi0: jax.Array,
+    gj0: jax.Array,
+    box_length: float,
+    rc_square: float,
+    tile_i: int = 128,
+    tile_j: int = 1024,
+    interpret: bool = False,
+    approx_reciprocal: bool = False,
+    want_observables: bool = True,
+) -> jax.Array:
+    """Tiled sweep of i rows (8, ni_pad) against a DIFFERENT j block
+    (8, nj_pad). Output layout matches ``pallas_pair_sweep`` (ordered-pair
+    counting: scalar rows restore with prefactors 2/12 after the cross-shard
+    reduction). ``gi0``/``gj0`` are traced int32 global offsets."""
+    ni_pad = pos_i.shape[1]
+    nj_pad = pos_j.shape[1]
+    tile_i = min(tile_i, ni_pad)
+    tile_j = min(tile_j, nj_pad)
+    grid = (ni_pad // tile_i, nj_pad // tile_j)
+    kernel = functools.partial(
+        _lj_rect_kernel,
+        box_length=float(box_length),
+        inv_box_length=1.0 / float(box_length),
+        rc_square=float(rc_square),
+        n_i=n_i,
+        n_j=n_j,
+        tile_i=tile_i,
+        tile_j=tile_j,
+        approx_reciprocal=approx_reciprocal and not interpret,
+        want_observables=want_observables,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, tile_i), lambda i, j, gi0, gj0: (0, i)),
+            pl.BlockSpec((8, tile_j), lambda i, j, gi0, gj0: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((8, tile_i), lambda i, j, gi0, gj0: (0, i)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, ni_pad), pos_i.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(40 * ni_pad * nj_pad),
+            bytes_accessed=int(4 * 8 * (ni_pad * (grid[1] + 1) + nj_pad * grid[0])),
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray(gi0, jnp.int32).reshape(1),
+        jnp.asarray(gj0, jnp.int32).reshape(1),
+        pos_i,
+        pos_j,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

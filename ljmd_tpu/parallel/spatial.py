@@ -29,7 +29,13 @@ from ljmd_tpu.ops.lj import _pair_terms, tail_corrections
 from ljmd_tpu.parallel.mesh import PARTICLE_AXIS
 from ljmd_tpu.state import MDState, StepObs
 
-__all__ = ["lj_rect_partials", "make_spatial_step_fn", "shard_state", "spatial_state_specs"]
+__all__ = [
+    "lj_rect_partials",
+    "make_spatial_engine",
+    "make_spatial_step_fn",
+    "shard_state",
+    "spatial_state_specs",
+]
 
 
 def lj_rect_partials(
@@ -38,8 +44,10 @@ def lj_rect_partials(
     gi_offset,
     box_length: float,
     rc_square: float,
+    gj_offset=0,
 ):
-    """Rectangular pair sweep: local i rows (ni, 3) against all j (nj, 3).
+    """Rectangular pair sweep: local i rows (ni, 3) against a j block
+    (nj, 3) whose global indices start at ``gj_offset``.
 
     Returns (a_local (ni,3), e_sum, du_sum, ddu_sum) where the scalar sums
     run over ordered pairs (i local, j any, i != j) WITHOUT prefactors; the
@@ -60,7 +68,7 @@ def lj_rect_partials(
     r2 = dx * dx + dy * dy + dz * dz
 
     gi = gi_offset + lax.broadcasted_iota(jnp.int32, (ni, nj), 0)
-    gj = lax.broadcasted_iota(jnp.int32, (ni, nj), 1)
+    gj = gj_offset + lax.broadcasted_iota(jnp.int32, (ni, nj), 1)
     mask = jnp.logical_and(r2 < jnp.asarray(rc_square, dtype), gi != gj)
 
     pair_e, du_r, pair_ddu, inv_r2 = _pair_terms(r2, mask, dtype)
@@ -87,13 +95,101 @@ def shard_state(state: MDState, mesh: Mesh) -> MDState:
     )
 
 
-def _make_local_step(cfg: SimConfig, axis: str):
-    """The shard-local velocity-Verlet step body (one particle shard)."""
+def _ring_partials(
+    r_local: jax.Array,
+    axis: str,
+    n_shards: int,
+    box_length: float,
+    rc_square: float,
+    use_pallas: bool,
+    interpret: bool,
+):
+    """Ring-pass j-block pair sweep (SURVEY §5.8/§7 design): instead of
+    replicating all positions per device (``all_gather``, O(N) memory per
+    chip), each device keeps an (N/d, 3) j block that rotates around the
+    ring via ``lax.ppermute`` — after d-1 hops every i shard has seen every
+    j block, with peak per-chip j storage O(N/d). This is the ring-attention
+    communication pattern applied to pair interactions; XLA overlaps the
+    permute with the local tile sweep.
+
+    Returns (a_local_raw (ni,3) WITHOUT the 24 prefactor, e, du, ddu partial
+    sums over ordered pairs (i local, j anywhere, i != j))."""
+    ni = r_local.shape[0]
+    dtype = r_local.dtype
+    my = lax.axis_index(axis)
+    gi0 = my * ni
+    # ring: each device forwards its current j block to the next neighbor
+    perm = [(s, (s + 1) % n_shards) for s in range(n_shards)]
+
+    if use_pallas:
+        from ljmd_tpu.ops.pallas_lj import _round_up, pallas_pair_sweep_rect
+
+        tile_i = 128 if ni % 128 == 0 else 8
+        nj_pad = _round_up(ni, 128)
+        tile_j = min(1024, nj_pad)
+        ni_pad = _round_up(ni, max(tile_i, 128))
+        pos_i = jnp.zeros((8, ni_pad), dtype).at[0:3, :ni].set(r_local.T)
+        pos_j = jnp.zeros((8, nj_pad), dtype).at[0:3, :ni].set(r_local.T)
+
+        acc = jnp.zeros_like(pos_i)
+        for s in range(n_shards):
+            gj0 = ((my - s) % n_shards) * ni
+            acc = acc + pallas_pair_sweep_rect(
+                pos_i, pos_j, ni, ni, gi0, gj0,
+                box_length, rc_square,
+                tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+            )
+            if s + 1 < n_shards:
+                pos_j = lax.ppermute(pos_j, axis, perm)
+        a_loc = acc[0:3, :ni].T
+        return a_loc, jnp.sum(acc[3]), jnp.sum(acc[4]), jnp.sum(acc[5])
+
+    r_j = r_local
+    a_loc = jnp.zeros((ni, 3), dtype)
+    e = jnp.zeros((), dtype)
+    du = jnp.zeros((), dtype)
+    ddu = jnp.zeros((), dtype)
+    for s in range(n_shards):
+        gj0 = ((my - s) % n_shards) * ni
+        a_b, e_b, du_b, ddu_b = lj_rect_partials(
+            r_local, r_j, gi0, box_length, rc_square, gj_offset=gj0
+        )
+        a_loc = a_loc + a_b
+        e = e + e_b
+        du = du + du_b
+        ddu = ddu + ddu_b
+        if s + 1 < n_shards:
+            r_j = lax.ppermute(r_j, axis, perm)
+    return a_loc, e, du, ddu
+
+
+def _make_local_step(
+    cfg: SimConfig,
+    axis: str,
+    n_shards: int = 0,
+    comm: str = "ring",
+    use_pallas: bool | None = None,
+    interpret: bool | None = None,
+):
+    """The shard-local velocity-Verlet step body (one particle shard).
+
+    comm="ring": ppermute ring exchange of j blocks (O(N/d) per-chip memory);
+    comm="all_gather": replicate positions per device (the round-1 path,
+    kept for tests/fallback). use_pallas selects the tiled Pallas rect
+    kernel for the local sweep (default: on TPU)."""
     dtype = jnp.dtype(cfg.dtype)
     dt = cfg.dt
     half_dt = 0.5 * cfg.dt
     half_dt_sq = 0.5 * cfg.dt * cfg.dt
     L = cfg.box_length
+
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except Exception:  # pragma: no cover
+            interpret = True
+    if use_pallas is None:
+        use_pallas = not interpret
 
     e_t, d_t, dd_t = (
         tail_corrections(cfg.n, cfg.volume, cfg.rc)
@@ -102,16 +198,21 @@ def _make_local_step(cfg: SimConfig, axis: str):
     )
 
     def local_force(r_local):
-        r_all = lax.all_gather(r_local, axis, axis=0, tiled=True)
-        gi0 = lax.axis_index(axis) * r_local.shape[0]
-        a_loc, e, du, ddu = lj_rect_partials(r_local, r_all, gi0, L, cfg.rc_square)
+        if comm == "ring":
+            a_raw, e, du, ddu = _ring_partials(
+                r_local, axis, n_shards, L, cfg.rc_square, use_pallas, interpret
+            )
+        else:
+            r_all = lax.all_gather(r_local, axis, axis=0, tiled=True)
+            gi0 = lax.axis_index(axis) * r_local.shape[0]
+            a_raw, e, du, ddu = lj_rect_partials(r_local, r_all, gi0, L, cfg.rc_square)
         e = lax.psum(e, axis)
         du = lax.psum(du, axis)
         ddu = lax.psum(ddu, axis)
         epot = 2.0 * e + jnp.asarray(e_t, dtype)      # 4 * (1/2) + tail
         d_epot = 12.0 * du + jnp.asarray(d_t, dtype)
         dd_epot = 12.0 * ddu + jnp.asarray(dd_t, dtype)
-        return 24.0 * a_loc, epot, d_epot, dd_epot
+        return 24.0 * a_raw, epot, d_epot, dd_epot
 
     def step_local(state: MDState):
         r_new = wrap_positions(state.r + state.v * dt + state.a * half_dt_sq, L)
@@ -123,38 +224,62 @@ def _make_local_step(cfg: SimConfig, axis: str):
         new_state = MDState(r=r_new, ru=ru_new, v=v_new, a=a_new)
         return new_state, StepObs(epot=epot, ekin=ekin, d_epot=d_epot, dd_epot=dd_epot)
 
+    def init_local(state: MDState):
+        """t=0 force evaluation on the shard (the reference drivers' initial
+        force call, md_simulation_program.f90:236)."""
+        a_new, epot, d_epot, dd_epot = local_force(state.r)
+        ekin = lax.psum(0.5 * jnp.sum(state.v * state.v), axis)
+        new_state = MDState(r=state.r, ru=state.ru, v=state.v, a=a_new)
+        return new_state, StepObs(epot=epot, ekin=ekin, d_epot=d_epot, dd_epot=dd_epot)
+
+    step_local.init_local = init_local
     return step_local
 
 
-def make_spatial_step_fn(cfg: SimConfig, mesh: Mesh, axis: str = PARTICLE_AXIS):
+def make_spatial_step_fn(
+    cfg: SimConfig,
+    mesh: Mesh,
+    axis: str = PARTICLE_AXIS,
+    comm: str = "ring",
+    use_pallas: bool | None = None,
+):
     """A velocity-Verlet step over particle shards via shard_map.
 
     State arrays are sharded (N/d, 3) per device; the force evaluation
-    all-gathers positions over ICI and psums the scalar observables, which
-    come back replicated. cfg.n must be divisible by the axis size.
+    ring-passes j blocks over ICI (``comm="ring"``, default; O(N/d) per-chip
+    memory) or all-gathers positions (``comm="all_gather"``), and psums the
+    scalar observables, which come back replicated. cfg.n must be divisible
+    by the axis size.
     """
     n_shards = mesh.shape[axis]
     if cfg.n % n_shards != 0:
         raise ValueError(f"N={cfg.n} not divisible by particle-axis size {n_shards}")
 
-    step_local = _make_local_step(cfg, axis)
+    step_local = _make_local_step(cfg, axis, n_shards, comm=comm, use_pallas=use_pallas)
     spec = spatial_state_specs()
     return shard_map(
         step_local,
         mesh=mesh,
         in_specs=(spec,),
         out_specs=(spec, StepObs(P(), P(), P(), P())),
+        check_vma=False,  # Pallas out_shape carries no vma annotation
     )
 
 
-def make_ensemble_spatial_step_fn(cfg: SimConfig, mesh: Mesh, axis: str = PARTICLE_AXIS):
+def make_ensemble_spatial_step_fn(
+    cfg: SimConfig,
+    mesh: Mesh,
+    axis: str = PARTICLE_AXIS,
+    comm: str = "ring",
+    use_pallas: bool | None = None,
+):
     """Combined replica x particle sharding: batched MDState arrays
     (R, N, 3) sharded P(replica, particle, None); one velocity-Verlet step
     for every replica. Observables come back per replica, shape (R,).
 
     This is the full multi-chip production step: ensemble data-parallelism
     over the replica axis, spatial parallelism over the particle axis, all
-    collectives (all_gather/psum) riding the mesh.
+    collectives (ppermute ring or all_gather, plus psum) riding the mesh.
     """
     from ljmd_tpu.parallel.mesh import REPLICA_AXIS
 
@@ -162,7 +287,7 @@ def make_ensemble_spatial_step_fn(cfg: SimConfig, mesh: Mesh, axis: str = PARTIC
     if cfg.n % n_shards != 0:
         raise ValueError(f"N={cfg.n} not divisible by particle-axis size {n_shards}")
 
-    single_step = _make_local_step(cfg, axis)
+    single_step = _make_local_step(cfg, axis, n_shards, comm=comm, use_pallas=use_pallas)
 
     def step_local(state: MDState):
         return jax.vmap(single_step)(state)
@@ -174,4 +299,51 @@ def make_ensemble_spatial_step_fn(cfg: SimConfig, mesh: Mesh, axis: str = PARTIC
         mesh=mesh,
         in_specs=(spec,),
         out_specs=(spec, obs_spec),
+        check_vma=False,
+    )
+
+
+def make_spatial_engine(
+    cfg: SimConfig,
+    mesh: Mesh,
+    axis: str = PARTICLE_AXIS,
+    comm: str = "ring",
+    use_pallas: bool | None = None,
+):
+    """Engine-interface wrapper for the particle-sharded step, so the
+    standard drivers (run_production / streaming / artifacts) run the
+    multi-chip path with the same sampling cadence, means accumulation, and
+    file contract as the single-device engines (VERDICT round-1 item 4).
+
+    The carry is a particle-sharded MDState; get_state returns it as-is
+    (arrays are global jax.Arrays with shardings — fully addressable on a
+    single host mesh).
+    """
+    from ljmd_tpu.models.engine import Engine
+
+    n_shards = mesh.shape[axis]
+    if cfg.n % n_shards != 0:
+        raise ValueError(f"N={cfg.n} not divisible by particle-axis size {n_shards}")
+
+    step_local = _make_local_step(cfg, axis, n_shards, comm=comm, use_pallas=use_pallas)
+    spec = spatial_state_specs()
+    obs_spec = StepObs(P(), P(), P(), P())
+    step = shard_map(
+        step_local, mesh=mesh, in_specs=(spec,), out_specs=(spec, obs_spec),
+        check_vma=False,  # Pallas out_shape carries no vma annotation
+    )
+    init_sharded = shard_map(
+        step_local.init_local, mesh=mesh, in_specs=(spec,), out_specs=(spec, obs_spec),
+        check_vma=False,
+    )
+
+    def init(state: MDState):
+        return init_sharded(shard_state(state, mesh))
+
+    return Engine(
+        init=init,
+        step=step,
+        get_state=lambda c: c,
+        diagnostics=lambda c: {},
+        step_fast=step,
     )

@@ -120,3 +120,95 @@ def test_mesh_validation():
     mesh = make_mesh(replica=1, particle=3)  # 32 % 3 != 0
     with pytest.raises(ValueError):
         make_spatial_step_fn(cfg, mesh)
+
+
+def test_ring_matches_all_gather_and_pallas():
+    """ppermute ring exchange (default) == all_gather path == ring with the
+    Pallas rect kernel, on a 4-way particle axis (VERDICT round-1 item 4)."""
+    cfg = small_cfg()
+    state = initialize(cfg, backend="dense")
+    mesh = make_mesh(replica=1, particle=4)
+
+    outs = {}
+    for name, kw in {
+        "ring": dict(comm="ring"),
+        "gather": dict(comm="all_gather"),
+        "ring_pallas": dict(comm="ring", use_pallas=True),
+    }.items():
+        sstep = make_spatial_step_fn(cfg, mesh, **kw)
+        s = shard_state(state, mesh)
+        run = jax.jit(
+            lambda s, f=sstep: jax.lax.scan(lambda c, _: f(c), s, None, length=5)
+        )
+        outs[name] = run(s)
+
+    ref_state, ref_obs = outs["gather"]
+    for name in ("ring", "ring_pallas"):
+        st, obs = outs[name]
+        np.testing.assert_allclose(
+            np.asarray(st.r), np.asarray(ref_state.r), rtol=1e-11, atol=1e-12,
+            err_msg=name,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st.v), np.asarray(ref_state.v), rtol=1e-10, atol=1e-12,
+            err_msg=name,
+        )
+        assert float(obs.epot[-1]) == pytest.approx(float(ref_obs.epot[-1]), rel=1e-10)
+        assert float(obs.d_epot[-1]) == pytest.approx(float(ref_obs.d_epot[-1]), rel=1e-10)
+
+
+def test_spatial_engine_production_matches_single_device():
+    """The sharded engine runs through the standard production driver
+    (sampling cadence + means + correlations) and matches the single-device
+    dense backend."""
+    from ljmd_tpu.parallel.spatial import make_spatial_engine
+
+    cfg = config_from_density(
+        num_cells=4, density=0.7, total_steps=40, output_interval=10,
+        warmup_steps=5, dt=0.002, dtype="float64",
+        target_total_energy=-1200.0,
+    )
+    state = initialize(cfg, backend="dense")
+    want = run_production(cfg, state, backend="dense")
+
+    mesh = make_mesh(replica=1, particle=4)
+    eng = make_spatial_engine(cfg, mesh)
+    got = run_production(cfg, state, engine=eng)
+    np.testing.assert_allclose(
+        np.asarray(got.series), np.asarray(want.series), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.means.means), np.asarray(want.means.means),
+        rtol=1e-9, atol=1e-11,
+    )
+
+
+def test_ring_8way_larger_n_forces():
+    """8-way particle sharding at N=2048: ring forces equal the single-device
+    dense kernel (meaningful shard sizes, VERDICT round-1 item 4)."""
+    cfg = config_from_density(
+        num_cells=8, density=0.75, total_steps=10, warmup_steps=0,
+        dt=0.002, dtype="float64", target_total_energy=-10000.0,
+    )
+    from ljmd_tpu.models.lattice import fcc_lattice, random_velocities, remove_com_velocity
+    from ljmd_tpu.state import MDState
+
+    r = fcc_lattice(cfg.num_cells, cfg.box_length, dtype=jnp.float64)
+    v = remove_com_velocity(
+        random_velocities(jax.random.PRNGKey(1), cfg.n, dtype=jnp.float64)
+    )
+    state = MDState(r=r, ru=r, v=v, a=jnp.zeros_like(r))
+
+    force_fn = make_force_fn(cfg, "dense")
+    s_ref, obs_ref = init_forces(state, force_fn)
+
+    mesh = make_mesh(replica=1, particle=8)
+    from ljmd_tpu.parallel.spatial import make_spatial_engine
+
+    eng = make_spatial_engine(cfg, mesh, comm="ring")
+    carry, obs = eng.init(state)
+    np.testing.assert_allclose(
+        np.asarray(eng.get_state(carry).a), np.asarray(s_ref.a),
+        rtol=1e-10, atol=1e-10,
+    )
+    assert float(obs.epot) == pytest.approx(float(obs_ref.epot), rel=1e-11)
