@@ -162,6 +162,15 @@ def cmd_ensemble(args) -> int:
                 run_dirs.append(d)
         with open(os.path.join(out_dir, "several_runs.txt"), "w") as f:
             f.write("\n".join(run_dirs) + ("\n" if run_dirs else ""))
+    elif getattr(args, "stream", False):
+        # Host-streamed series: config-4 at production lengths without
+        # holding the (R, 5, n_samples) stack in device memory.
+        from ljmd_tpu.parallel.ensemble import ensemble_simulate_streaming
+
+        out = ensemble_simulate_streaming(
+            cfg, n_replicas=n_runs, backend=args.backend,
+            chunk_samples=getattr(args, "chunk_samples", 32) or 32,
+        )
     else:
         out = ensemble_simulate(cfg, n_replicas=n_runs, backend=args.backend)
 
@@ -272,6 +281,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="also write run_XXXX/ artifact directories per replica "
              "(run_many_md parity)",
     )
+    sp.add_argument(
+        "--stream", action="store_true",
+        help="stream per-replica series to host per chunk (long runs / many "
+             "replicas without holding all series in device memory)",
+    )
+    sp.add_argument("--chunk-samples", type=int, default=32)
     sp.set_defaults(fn=cmd_ensemble)
 
     sp = sub.add_parser("run-all", help="init + simulate + analyze pipeline")

@@ -361,12 +361,21 @@ class PencilCarry:
 
 
 def _cellpair_engine(
-    cfg: SimConfig, interpret: bool | None = None, z_band: bool = False
+    cfg: SimConfig,
+    interpret: bool | None = None,
+    z_band: bool = False,
+    half_shell: bool = True,
 ) -> Engine:
     """Structured pencil-sweep backend for large N (SURVEY §5.7): pair work
     O(N * 9 * capacity) with purely block-structured memory access; rebinning
     (an argsort + scatter) happens only when a particle moved more than
     skin/2, under lax.cond.
+
+    ``half_shell=True`` (default): pair-once sweep — self-pencil triangular
+    plus 4 upper xy-neighbors, reaction outputs reduced via shift-permutation
+    block maps (ops/pallas_pencil2.py); ~2x less pair math than the full
+    9-neighbor sweep. Incompatible with z_band (which implies the full
+    sweep).
 
     ``z_band=True`` (EXPERIMENTAL, default off): ranks within a pencil are
     z-sorted, and each (i-slice, neighbor) computes only the rank windows
@@ -391,6 +400,11 @@ def _cellpair_engine(
         pallas_pencil_sweep,
         pallas_pencil_sweep_zband,
     )
+    from ljmd_tpu.ops.pallas_pencil2 import (
+        build_half_shell_tables,
+        pallas_pencil_sweep_hs,
+        sentinel_fill,
+    )
 
     if interpret is None:
         try:
@@ -411,7 +425,12 @@ def _cellpair_engine(
     window = default_z_window(grid, n, r_list, TILE_I)
     if window >= grid.capacity:
         z_band = False  # banding degenerates to the full sweep
+    if z_band:
+        half_shell = False  # banding implies the full 9-neighbor sweep
     n_tables = (ns // TILE_I) * 9
+    hs_tbl_np, hs_shf_np = build_half_shell_tables(grid)
+    hs_tbl = jnp.asarray(hs_tbl_np)
+    hs_shf = jnp.asarray(hs_shf_np)
 
     e_t, d_t, dd_t = (
         tail_corrections(n, cfg.volume, cfg.rc)
@@ -431,6 +450,15 @@ def _cellpair_engine(
                 grid, cfg.rc_square, window,
                 interpret=interpret, want_observables=want_obs,
             )
+        if half_shell:
+            out = pallas_pencil_sweep_hs(
+                pos, hs_tbl, counts, hs_shf, grid, cfg.rc_square,
+                interpret=interpret, want_observables=want_obs,
+                approx_reciprocal=True,
+            )
+            # Sentinel-sentinel artifacts land only on invalid slots; one
+            # multiply by the validity row (r row 3) cleans output + obs.
+            return out * pos[3:4, :]
         return pallas_pencil_sweep(
             pos, tile_table, counts, grid, cfg.rc_square,
             tile_i=TILE_I, interpret=interpret, want_observables=want_obs,
@@ -453,12 +481,16 @@ def _cellpair_engine(
             .astype(jnp.int32)
         )
 
+    # Half-shell sweeps count each pair ONCE (prefactors 4/24, like the
+    # dense triangular kernel); the full 9-neighbor sweep counts twice.
+    e_pref, d_pref = (4.0, 24.0) if half_shell else (2.0, 12.0)
+
     def obs_from(out, ekin):
         return StepObs(
-            epot=2.0 * jnp.sum(out[3]) + jnp.asarray(e_t, dtype),
+            epot=e_pref * jnp.sum(out[3]) + jnp.asarray(e_t, dtype),
             ekin=ekin,
-            d_epot=12.0 * jnp.sum(out[4]) + jnp.asarray(d_t, dtype),
-            dd_epot=12.0 * jnp.sum(out[5]) + jnp.asarray(dd_t, dtype),
+            d_epot=d_pref * jnp.sum(out[4]) + jnp.asarray(d_t, dtype),
+            dd_epot=d_pref * jnp.sum(out[5]) + jnp.asarray(dd_t, dtype),
         )
 
     def _scatter_rows(arr_particles: jax.Array, slot: jax.Array) -> jax.Array:
@@ -474,6 +506,7 @@ def _cellpair_engine(
             jnp.arange(n, dtype=dtype)
         )[:ns]
         r8 = r8.at[3, :].set(valid).at[4, :].set(ids)
+        r8 = sentinel_fill(r8, valid)
         ru8 = _scatter_rows(state.ru, slot)
         v8 = _scatter_rows(state.v, slot)
         counts = _counts_from_valid(valid)
@@ -529,6 +562,7 @@ def _cellpair_engine(
                 return out[:, :ns]
 
             r8p = permute(r8)  # rows 3/4 (validity, ids) move with the slots
+            r8p = sentinel_fill(r8p, r8p[3, :])
             counts_p = _counts_from_valid(r8p[3, :])
             wins_p, w_ovf = _windows(r8p, r8p[3, :], counts_p)
             return (

@@ -76,10 +76,22 @@ class PencilGrid:
 
 def pencil_capacity(n: int, density: float, box_length: float, m_xy: int,
                     safety: float = 1.4) -> int:
-    """Static per-pencil slot capacity: mean occupancy x safety, rounded up
-    to a multiple of 128 (lane alignment)."""
+    """Static per-pencil slot capacity, rounded up to a multiple of 128
+    (lane alignment).
+
+    The margin above mean occupancy is fluctuation-driven: grand-canonical
+    particle-number fluctuations in a cell scale like sqrt(S(0) * mean) with
+    S(0) << 1 in a dense liquid, so even a Poisson-scale margin
+    (~sqrt(mean)) is generous. For LARGE pencils the old flat 1.4x safety
+    wasted a full 128-lane block of the j sweep (e.g. mean 319 -> cap 512
+    instead of 384 at N=62500); margins are now
+    max(0.15 * mean + 8, 3.5 * sqrt(mean)) — relatively tight for big pencils,
+    wide for small ones where Poisson statistics dominate. Capacity overflow
+    at (re)binning sets the engine's sticky overflow flag, so a violated
+    bound is detected, never silent."""
     mean = n / (m_xy * m_xy)
-    cap = int(mean * safety) + 16
+    margin = max(0.15 * mean + 8.0, 3.5 * mean**0.5) * (safety / 1.4)
+    cap = int(mean + margin)
     return ((cap + 127) // 128) * 128
 
 

@@ -116,3 +116,40 @@ def test_auto_backend_selects_cellpair_for_large_n(monkeypatch):
         overflow = jnp.asarray(False)
 
     assert "pencil_overflow" in eng.diagnostics(FakeCarry())
+
+
+def test_half_shell_matches_full_sweep():
+    """Pair-once half-shell sweep == full 9-neighbor sweep (forces, obs) on
+    an equilibrated fluid, f64 interpret."""
+    import jax
+
+    from ljmd_tpu.models.engine import _cellpair_engine
+    from ljmd_tpu.models.simulation import initialize
+
+    cfg = config_from_density(
+        num_cells=5, density=0.66, dt=0.002, dtype="float64",
+        total_steps=10, warmup_steps=30, target_total_energy=-2000.0,
+        neighbor_skin=0.4,
+    )
+    state = initialize(cfg, backend="dense")
+    eng_full = _cellpair_engine(cfg, interpret=True, half_shell=False)
+    eng_hs = _cellpair_engine(cfg, interpret=True, half_shell=True)
+
+    c_f, ob_f = eng_full.init(state)
+    c_h, ob_h = eng_hs.init(state)
+    for key in ("epot", "ekin", "d_epot", "dd_epot"):
+        assert float(getattr(ob_h, key)) == pytest.approx(
+            float(getattr(ob_f, key)), rel=1e-11
+        ), key
+
+    for _ in range(5):
+        c_f, ob_f = jax.jit(eng_full.step)(c_f)
+        c_h, ob_h = jax.jit(eng_hs.step)(c_h)
+    s_f = eng_full.get_state(c_f)
+    s_h = eng_hs.get_state(c_h)
+    for field in ("r", "v", "a"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_h, field)), np.asarray(getattr(s_f, field)),
+            rtol=1e-9, atol=1e-11, err_msg=field,
+        )
+    assert float(ob_h.epot) == pytest.approx(float(ob_f.epot), rel=1e-9)

@@ -212,3 +212,24 @@ def test_ring_8way_larger_n_forces():
         rtol=1e-10, atol=1e-10,
     )
     assert float(obs.epot) == pytest.approx(float(obs_ref.epot), rel=1e-11)
+
+
+def test_streaming_ensemble_matches_in_memory():
+    """Host-streamed ensemble series == fully materialized ensemble (VERDICT
+    round-1 item 8); series lives on host as numpy."""
+    from ljmd_tpu.parallel.ensemble import ensemble_simulate_streaming
+
+    cfg = small_cfg()
+    want = ensemble_simulate(cfg, n_replicas=3, backend="dense")
+    got = ensemble_simulate_streaming(cfg, n_replicas=3, backend="dense",
+                                      chunk_samples=4)
+    assert isinstance(got.series, np.ndarray)
+    np.testing.assert_allclose(np.asarray(got.series), np.asarray(want.series),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.replica_means),
+                               np.asarray(want.replica_means), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.corr_mean_runs),
+                               np.asarray(want.corr_mean_runs),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.mean_of_means),
+                               np.asarray(want.mean_of_means), rtol=1e-12)
