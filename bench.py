@@ -44,7 +44,7 @@ def main() -> None:
         dt=0.005,
         dtype="float32",
     )
-    backend = "pallas" if on_tpu else "dense"
+    backend = "auto" if on_tpu else "dense"
     n_steps = 2000 if on_tpu else 100
 
     dtype = jnp.float32
@@ -59,18 +59,23 @@ def main() -> None:
     engine = make_engine(cfg, backend)
     carry, _ = engine.init(state)
 
-    # Production-representative loop: the driver samples every
-    # output_interval steps, so the hot step is the observable-free one.
-    step_hot = engine.step_fast or engine.step
+    # Production-representative loop: the driver runs the un-sampled steps
+    # through run_fast (fused multi-step kernels) when the engine has one.
+    if engine.run_fast is not None:
+        @jax.jit
+        def run(c):
+            return engine.run_fast(c, n_steps)
+    else:
+        step_hot = engine.step_fast or engine.step
 
-    @jax.jit
-    def run(c):
-        def body(cc, _):
-            cc2, ob = step_hot(cc)
-            return cc2, None
+        @jax.jit
+        def run(c):
+            def body(cc, _):
+                cc2, ob = step_hot(cc)
+                return cc2, None
 
-        out, _ = jax.lax.scan(body, c, None, length=n_steps)
-        return out
+            out, _ = jax.lax.scan(body, c, None, length=n_steps)
+            return out
 
     def sync_scalar(c):
         # data-dependent fetch: robust sync even where block_until_ready is

@@ -328,12 +328,231 @@ def _pallas_rows_engine(
             remaining -= k
         return RowCarry(r=r, ru=ru, v=v, a=a, rc=c.rc, vc=c.vc)
 
+    def run_fast_ext(c: RowCarry, n_steps: int) -> RowCarry:
+        """Compensated-mode fused advance: two-float positions (r + rc) and
+        compensated velocities inside the kernel, pair displacements
+        corrected by the remainder rows. This is the f32 drift fix for both
+        small dt (increment underflow) AND the dt~5e-3 kernel-input
+        quantization floor (docs/RESULTS.md)."""
+        from ljmd_tpu.ops.pallas_fused import (
+            MAX_CHUNK_STEPS,
+            fused_dense_chunk_ext,
+            wrap_positions_ext,
+        )
+
+        r, rc_, ru, v, vc_, a = c.r, c.rc, c.ru, c.v, c.vc, c.a
+        remaining = n_steps
+        while remaining > 0:
+            k = min(MAX_CHUNK_STEPS, remaining)
+            r_end, rc_end, v, vc_, a = fused_dense_chunk_ext(
+                r, rc_, v, vc_, a, n, L, cfg.rc_square, dt, k,
+                tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+                approx_reciprocal=True,
+            )
+            ru = ru + ((r_end - r) + (rc_end - rc_))
+            r, rc_ = wrap_positions_ext(r_end, rc_end, L)
+            remaining -= k
+        return RowCarry(r=r, ru=ru, v=v, a=a, rc=rc_, vc=vc_)
+
     return Engine(
         init=init, step=step, get_state=get_state,
         diagnostics=lambda c: {}, step_fast=step_fast,
-        # Compensated mode needs the per-step Neumaier carries — keep the
-        # step-granular path there (auto-enabled only at dt <= 1e-3).
-        run_fast=None if compensated else run_fast,
+        run_fast=run_fast_ext if compensated else run_fast,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ZSortCarry:
+    """Carry of the z-sorted fused engine: (8, n_pad) rows in ascending-z
+    column order (padding columns last), particle ids (-1 for padding),
+    reference positions from the last sort (displacement criterion), the
+    tile-pair activity flags, and a sticky validity flag (set if a particle
+    outran the sort skin between checks — results then suspect, mirroring
+    the pencil engine's overflow flag)."""
+
+    r: jax.Array
+    ru: jax.Array
+    v: jax.Array
+    a: jax.Array
+    ids: jax.Array
+    r_ref: jax.Array
+    flags: jax.Array
+    invalid: jax.Array
+
+
+def _zsort_engine(
+    cfg: SimConfig,
+    interpret: bool | None = None,
+    sort_skin: float = 1.0,
+    inner_chunk: int = 16,
+    tile_i: int = 128,
+    tile_j: int = 512,
+) -> Engine:
+    """Dense fused engine with z-sorted tile skipping.
+
+    Particles are kept in ascending-z column order; the fused multi-step
+    kernel gates each (i-tile, j-tile) pair on precomputed z-interval
+    overlap flags (window rc + sort_skin), skipping the ~50% of tile pairs
+    (at N~4000 geometry) whose columns cannot interact. The order and flags
+    refresh when any particle has moved sort_skin/4 from the sort-time
+    positions (checked every ``inner_chunk`` steps between fused kernels); a
+    particle exceeding sort_skin/2 between checks sets the sticky
+    ``invalid`` diagnostic. Per-step ``step``/``step_fast`` use the plain
+    (order-agnostic) triangular sweep, so sampled observables are always
+    exact regardless of flag staleness."""
+    from ljmd_tpu.ops.pallas_fused import (
+        compute_tile_flags,
+        fused_dense_chunk_flags,
+    )
+    from ljmd_tpu.ops.pallas_lj import (
+        _round_up,
+        pallas_pair_sweep_tri,
+    )
+
+    if interpret is None:
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except Exception:  # pragma: no cover
+            interpret = True
+
+    n = cfg.n
+    n_pad = _round_up(n, max(tile_i, tile_j, 128))
+    L = cfg.box_length
+    dtype = jnp.dtype(cfg.dtype)
+    # Clamp the sort skin so the flag window respects MIC (window < L/2);
+    # tiny boxes leave no room for z discrimination -> use the rows engine.
+    sort_skin = min(sort_skin, 0.49 * L - cfg.rc)
+    if sort_skin < 0.15:
+        raise ValueError(
+            "box too small for z-sorted tile skipping (rc ~ L/2); "
+            "use the 'pallas' rows engine"
+        )
+    window = cfg.rc + sort_skin
+    resort_thresh = (0.25 * sort_skin) ** 2
+    invalid_thresh = (0.5 * sort_skin) ** 2
+
+    e_t, d_t, dd_t = (
+        tail_corrections(n, cfg.volume, cfg.rc)
+        if cfg.use_tail_corrections
+        else (0.0, 0.0, 0.0)
+    )
+    row_mask = jnp.zeros((8, 1), dtype).at[0:3].set(1.0)
+
+    def sweep(pos, want_obs=True):
+        # Order-agnostic triangular sweep (exact for any column order).
+        return pallas_pair_sweep_tri(
+            pos, n, L, cfg.rc_square, tile_i=128,
+            tile_j=1024 if n_pad >= 1024 else 128,
+            interpret=interpret, want_observables=want_obs,
+            approx_reciprocal=True,
+        )
+
+    def obs_from(out, ekin):
+        return StepObs(
+            epot=4.0 * jnp.sum(out[3]) + jnp.asarray(e_t, dtype),
+            ekin=ekin,
+            d_epot=24.0 * jnp.sum(out[4]) + jnp.asarray(d_t, dtype),
+            dd_epot=24.0 * jnp.sum(out[5]) + jnp.asarray(dd_t, dtype),
+        )
+
+    def _flags(r8):
+        return compute_tile_flags(r8, n, tile_i, tile_j, L, window)
+
+    def _sort(r8, ru8, v8, a8, ids):
+        key = jnp.where(ids >= 0, r8[2], jnp.asarray(jnp.inf, dtype))
+        order = jnp.argsort(key)
+        r8 = r8[:, order]
+        return r8, ru8[:, order], v8[:, order], a8[:, order], ids[order]
+
+    def init(state: MDState):
+        r8 = jnp.zeros((8, n_pad), dtype).at[0:3, :n].set(state.r.T.astype(dtype))
+        ru8 = jnp.zeros((8, n_pad), dtype).at[0:3, :n].set(state.ru.T.astype(dtype))
+        v8 = jnp.zeros((8, n_pad), dtype).at[0:3, :n].set(state.v.T.astype(dtype))
+        a8 = jnp.zeros((8, n_pad), dtype)
+        ids = jnp.where(jnp.arange(n_pad) < n, jnp.arange(n_pad), -1).astype(jnp.int32)
+        r8, ru8, v8, a8, ids = _sort(r8, ru8, v8, a8, ids)
+        out = sweep(r8)
+        a8 = 24.0 * out * row_mask
+        ekin = 0.5 * jnp.sum(v8 * v8)
+        carry = ZSortCarry(
+            r=r8, ru=ru8, v=v8, a=a8, ids=ids, r_ref=r8, flags=_flags(r8),
+            invalid=jnp.asarray(False),
+        )
+        return carry, obs_from(out, ekin)
+
+    dt = cfg.dt
+    half_dt = 0.5 * cfg.dt
+    half_dt_sq = 0.5 * cfg.dt * cfg.dt
+
+    def _step(c: ZSortCarry, want_obs: bool):
+        r_new = wrap_positions(c.r + c.v * dt + c.a * half_dt_sq, L)
+        v_half = c.v + c.a * half_dt
+        out = sweep(r_new, want_obs)
+        a_new = 24.0 * out * row_mask
+        v_new = v_half + a_new * half_dt
+        ekin = 0.5 * jnp.sum(v_new * v_new)
+        ru_new = c.ru + minimum_image(r_new - c.r, L)
+        carry = dataclasses.replace(
+            c, r=r_new, ru=ru_new, v=v_new, a=a_new
+        )
+        return carry, obs_from(out, ekin)
+
+    def _maybe_resort(c: ZSortCarry) -> ZSortCarry:
+        d = minimum_image(c.r[0:3] - c.r_ref[0:3], L)
+        valid = (c.ids >= 0).astype(dtype)
+        moved2 = jnp.max(jnp.sum(d * d, axis=0) * valid)
+        invalid = c.invalid | (moved2 > invalid_thresh)
+
+        def do(c):
+            r8, ru8, v8, a8, ids = _sort(c.r, c.ru, c.v, c.a, c.ids)
+            return dataclasses.replace(
+                c, r=r8, ru=ru8, v=v8, a=a8, ids=ids, r_ref=r8,
+                flags=_flags(r8),
+            )
+
+        c = lax.cond(moved2 > resort_thresh, do, lambda c: c, c)
+        return dataclasses.replace(c, invalid=invalid)
+
+    def _chunk(c: ZSortCarry, k: int) -> ZSortCarry:
+        c = _maybe_resort(c)
+        r_end, v, a = fused_dense_chunk_flags(
+            c.r, c.v, c.a, c.flags, n, L, cfg.rc_square, dt, k,
+            tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+        )
+        ru = c.ru + (r_end - c.r)
+        return dataclasses.replace(
+            c, r=wrap_positions(r_end, L), ru=ru, v=v, a=a
+        )
+
+    def run_fast(c: ZSortCarry, n_steps: int) -> ZSortCarry:
+        full, rem = divmod(n_steps, inner_chunk)
+        if full > 0:
+            c, _ = lax.scan(
+                lambda cc, _: (_chunk(cc, inner_chunk), None),
+                c, None, length=full,
+            )
+        if rem:
+            c = _chunk(c, rem)
+        return c
+
+    def get_state(c: ZSortCarry) -> MDState:
+        idx = jnp.where(c.ids >= 0, c.ids, n)
+
+        def gather(arr):
+            out = jnp.zeros((n + 1, 3), dtype)
+            out = out.at[idx].set(arr[0:3, :].T)
+            return out[:n]
+
+        return MDState(r=gather(c.r), ru=gather(c.ru), v=gather(c.v), a=gather(c.a))
+
+    return Engine(
+        init=init,
+        step=lambda c: _step(c, True),
+        get_state=get_state,
+        diagnostics=lambda c: {"zsort_invalid": c.invalid},
+        step_fast=lambda c: _step(c, False),
+        run_fast=run_fast,
     )
 
 
@@ -645,6 +864,8 @@ def make_engine(cfg: SimConfig, backend: str = "auto") -> Engine:
         return _neighbor_engine(cfg)
     if backend == "pallas":
         return _pallas_rows_engine(cfg)
+    if backend == "zsort":
+        return _zsort_engine(cfg)
     if backend == "cellpair":
         return _cellpair_engine(cfg)
     if backend == "auto":
@@ -657,9 +878,17 @@ def make_engine(cfg: SimConfig, backend: str = "auto") -> Engine:
             # path ~5x SLOWER than the dense Pallas sweep at N=4000, so on
             # TPU the dense tiled kernel is the small/mid-N choice and the
             # structured pencil sweep takes over once the O(N * 9 * cap)
-            # work undercuts O(N^2).
+            # work undercuts O(N^2). In between, the z-sorted tile-skip
+            # fused engine wins when the box leaves room for z
+            # discrimination (L >> rc; measured 1.34x at N=4000).
             if cfg.n >= 8192 and _cellpair_viable(cfg):
                 return _cellpair_engine(cfg)
+            compensated = cfg.compensated_sum or cfg.dt <= 1.0e-3
+            if not compensated and cfg.box_length > 4.0 * cfg.rc:
+                try:
+                    return _zsort_engine(cfg)
+                except ValueError:
+                    pass
             return _pallas_rows_engine(cfg)
         elif _prefer_neighbor(cfg):
             # CPU path: O(N*K) gathers beat the O(N^2) sweep handily.

@@ -92,7 +92,43 @@ def pencil_capacity(n: int, density: float, box_length: float, m_xy: int,
     mean = n / (m_xy * m_xy)
     margin = max(0.15 * mean + 8.0, 3.5 * mean**0.5) * (safety / 1.4)
     cap = int(mean + margin)
+    # The FCC starting lattice aliases the pencil grid (atom columns bunch
+    # into pencils), exceeding any fluid-fluctuation bound — e.g. at N=62500
+    # the fluid needs <384 slots but the lattice needs more. Binning the
+    # lattice is a real input (initialize() starts there), so the default
+    # capacity covers it; equilibrated production runs may override with
+    # cfg.neighbor_capacity for a tighter j sweep (overflow stays detected
+    # via the sticky flag).
+    if n >= 32:
+        k = round((n / 4) ** (1 / 3))
+        if 4 * k**3 == n:
+            cap = max(cap, _fcc_max_pencil_occupancy(k, box_length, m_xy) + 8)
     return ((cap + 127) // 128) * 128
+
+
+def _fcc_max_pencil_occupancy(num_cells: int, box_length: float, m_xy: int) -> int:
+    """Exact max per-pencil occupancy of the FCC starting lattice
+    (md_initial_config_program.f90:132-187 geometry): project the 4-atom
+    basis onto xy and histogram the columns into the pencil grid."""
+    a = box_length / num_cells
+    cells = np.arange(num_cells) * a
+    cols_x = []
+    cols_y = []
+    counts_per_col = num_cells  # one atom per xy column per z cell
+    for bx, by in ((0.0, 0.0), (0.0, 0.5), (0.5, 0.0), (0.5, 0.5)):
+        x = (cells + bx * a) % box_length
+        y = (cells + by * a) % box_length
+        gx, gy = np.meshgrid(x, y, indexing="ij")
+        cols_x.append(gx.ravel())
+        cols_y.append(gy.ravel())
+    x = np.concatenate(cols_x)
+    y = np.concatenate(cols_y)
+    inv_w = m_xy / box_length
+    ix = np.clip((x * inv_w).astype(np.int64), 0, m_xy - 1)
+    iy = np.clip((y * inv_w).astype(np.int64), 0, m_xy - 1)
+    pid = ix * m_xy + iy
+    occ = np.bincount(pid, minlength=m_xy * m_xy) * counts_per_col
+    return int(occ.max())
 
 
 def make_pencil_grid(n: int, box_length: float, r_list: float,

@@ -48,7 +48,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ljmd_tpu.ops.pallas_common import lj_pair_terms
 
-__all__ = ["fused_dense_chunk", "MAX_CHUNK_STEPS"]
+__all__ = [
+    "MAX_CHUNK_STEPS",
+    "compute_tile_flags",
+    "fused_dense_chunk",
+    "fused_dense_chunk_ext",
+    "fused_dense_chunk_flags",
+    "wrap_positions_ext",
+]
+
+
+def wrap_positions_ext(hi: jax.Array, lo: jax.Array, box_length: float):
+    """Wrap two-float positions into [0, L) without losing the remainder:
+    hi' = hi - k*L with the subtraction's rounding error folded into lo.
+    k*L is exact for the small |k| (<= 2) that occur between wraps."""
+    k = jnp.floor(hi * (1.0 / box_length))
+    d = k * box_length
+    s = hi - d
+    big = jnp.abs(hi) >= jnp.abs(d)
+    err = jnp.where(big, (hi - s) - d, (-d - s) + hi)
+    return s, lo + err
 
 # Position drift per chunk is bounded by v_max * dt * MAX_CHUNK_STEPS; at
 # liquid state points (v_max ~ 4 sigma/tau, dt <= 0.005) 256 steps keep
@@ -57,10 +76,7 @@ MAX_CHUNK_STEPS = 256
 
 
 def _fused_dense_kernel(
-    r_in, v_in, a_in,      # (8, n_pad) VMEM inputs
-    r_out, v_out, a_out,   # (8, n_pad) VMEM outputs (the live state)
-    f_acc,                 # (8, n_pad) VMEM scratch: per-step force accumulator
-    *,
+    *args,
     n: int,
     n_pad: int,
     tile_i: int,
@@ -71,10 +87,40 @@ def _fused_dense_kernel(
     dt: float,
     n_steps: int,
     approx_reciprocal: bool,
+    use_flags: bool = False,
+    extended: bool = False,
 ):
-    r_out[:, :] = r_in[:, :]
-    v_out[:, :] = v_in[:, :]
-    a_out[:, :] = a_in[:, :]
+    """Fused multi-step kernel body. Inputs: [flags (SMEM, when use_flags)],
+    r_in, [rlo_in], v_in, [vc_in], a_in; outputs mirror the inputs; scratch
+    f_acc. With ``use_flags`` each (i,j) tile is gated on
+    flags[it * n_j + jt] — the z-sorted tile-skip path (tiles whose
+    z-intervals are farther apart than rc + skin are skipped at runtime).
+
+    ``extended``: two-float positions + compensated velocities. At dt=0.005
+    in f32 the drift floor is set by kernel-INPUT position quantization
+    (ulp(x~L) ~ 1e-6 absolute on the pair displacement); carrying the
+    rounding remainder rows (r_lo) and correcting each pair displacement
+    with (lo_i - lo_j) removes it for ~6 extra ops per pair. Integration
+    uses Neumaier two-sums so r_hi + r_lo tracks the exact trajectory.
+    """
+    pos = 0
+    if use_flags:
+        flags_ref = args[0]
+        pos = 1
+    else:
+        flags_ref = None
+    n_state = 5 if extended else 3
+    ins = args[pos:pos + n_state]
+    outs = args[pos + n_state:pos + 2 * n_state]
+    f_acc = args[pos + 2 * n_state]
+    if extended:
+        (r_in, rlo_in, v_in, vc_in, a_in) = ins
+        (r_out, rlo_out, v_out, vc_out, a_out) = outs
+    else:
+        (r_in, v_in, a_in) = ins
+        (r_out, v_out, a_out) = outs
+    for dst, src in zip(outs, ins):
+        dst[:, :] = src[:, :]
 
     n_i = n_pad // tile_i
     n_j = n_pad // tile_j
@@ -83,11 +129,26 @@ def _fused_dense_kernel(
     half_dt = 0.5 * dt
     half_dt_sq = 0.5 * dt * dt
 
+    def _comp_add(x_ref, c_ref, delta):
+        """Neumaier-compensated x_ref += delta (c_ref accumulates the
+        rounding remainder)."""
+        x = x_ref[:, :]
+        y = delta + c_ref[:, :]
+        t = x + y
+        big_x = jnp.abs(x) >= jnp.abs(y)
+        c_ref[:, :] = jnp.where(big_x, (x - t) + y, (y - t) + x)
+        x_ref[:, :] = t
+
     def step_body(_s, carry):
         # Position update + first half-kick (verlet.f90:58-74). Rows 3..7 are
         # zero in r/v/a, so full-matrix ops keep them zero.
-        r_out[:, :] = r_out[:, :] + v_out[:, :] * dt + a_out[:, :] * half_dt_sq
-        v_out[:, :] = v_out[:, :] + a_out[:, :] * half_dt
+        if extended:
+            delta = (v_out[:, :] + vc_out[:, :]) * dt + a_out[:, :] * half_dt_sq
+            _comp_add(r_out, rlo_out, delta)
+            _comp_add(v_out, vc_out, a_out[:, :] * half_dt)
+        else:
+            r_out[:, :] = r_out[:, :] + v_out[:, :] * dt + a_out[:, :] * half_dt_sq
+            v_out[:, :] = v_out[:, :] + a_out[:, :] * half_dt
 
         f_acc[:, :] = jnp.zeros_like(f_acc)
 
@@ -99,74 +160,296 @@ def _fused_dense_kernel(
             xi = r_out[0, isl].reshape(tile_i, 1)
             yi = r_out[1, isl].reshape(tile_i, 1)
             zi = r_out[2, isl].reshape(tile_i, 1)
+            if extended:
+                xi_lo = rlo_out[0, isl].reshape(tile_i, 1)
+                yi_lo = rlo_out[1, isl].reshape(tile_i, 1)
+                zi_lo = rlo_out[2, isl].reshape(tile_i, 1)
+            else:
+                xi_lo = yi_lo = zi_lo = None
             for jt in range(n_j):
                 j_lo = jt * tile_j
                 j_hi = j_lo + tile_j
                 if j_hi - 1 <= i_lo:
                     continue  # no pair with gj > gi in this tile
-                jsl = slice(j_lo, j_hi)
-                xj = r_out[0, jsl].reshape(1, tile_j)
-                yj = r_out[1, jsl].reshape(1, tile_j)
-                zj = r_out[2, jsl].reshape(1, tile_j)
 
-                dx = xi - xj
-                dy = yi - yj
-                dz = zi - zj
-                dx = dx - L * jnp.round(dx * inv_l)
-                dy = dy - L * jnp.round(dy * inv_l)
-                dz = dz - L * jnp.round(dz * inv_l)
-                r2 = dx * dx + dy * dy + dz * dz
+                def tile_body(it=it, jt=jt, i_lo=i_lo, i_hi=i_hi,
+                              j_lo=j_lo, j_hi=j_hi, xi=xi, yi=yi, zi=zi,
+                              xi_lo=xi_lo, yi_lo=yi_lo, zi_lo=zi_lo):
+                    jsl = slice(j_lo, j_hi)
+                    xj = r_out[0, jsl].reshape(1, tile_j)
+                    yj = r_out[1, jsl].reshape(1, tile_j)
+                    zj = r_out[2, jsl].reshape(1, tile_j)
 
-                mask = r2 < rc_square
-                # Triangular mask only where the diagonal crosses the tile.
-                if j_lo < i_hi:
-                    gi = i_lo + jax.lax.broadcasted_iota(
-                        jnp.int32, (tile_i, tile_j), 0
-                    )
-                    gj = j_lo + jax.lax.broadcasted_iota(
-                        jnp.int32, (tile_i, tile_j), 1
-                    )
-                    mask = mask & (gj > gi)
-                    if j_hi > n:
-                        mask = mask & (gj < n)
-                    if i_hi > n:
-                        mask = mask & (gi < n)
-                else:
-                    # Padding masks only for tiles touching columns >= n.
-                    if j_hi > n:
-                        gj = j_lo + jax.lax.broadcasted_iota(
-                            jnp.int32, (tile_i, tile_j), 1
-                        )
-                        mask = mask & (gj < n)
-                    if i_hi > n:
+                    dx = xi - xj
+                    dy = yi - yj
+                    dz = zi - zj
+                    if extended:
+                        # Pair displacement correction from the remainder
+                        # rows: restores the sub-ulp position information the
+                        # f32 coordinates dropped.
+                        dx = dx + (xi_lo - rlo_out[0, jsl].reshape(1, tile_j))
+                        dy = dy + (yi_lo - rlo_out[1, jsl].reshape(1, tile_j))
+                        dz = dz + (zi_lo - rlo_out[2, jsl].reshape(1, tile_j))
+                    dx = dx - L * jnp.round(dx * inv_l)
+                    dy = dy - L * jnp.round(dy * inv_l)
+                    dz = dz - L * jnp.round(dz * inv_l)
+                    r2 = dx * dx + dy * dy + dz * dz
+
+                    mask = r2 < rc_square
+                    # Triangular mask only where the diagonal crosses the tile.
+                    if j_lo < i_hi:
                         gi = i_lo + jax.lax.broadcasted_iota(
                             jnp.int32, (tile_i, tile_j), 0
                         )
-                        mask = mask & (gi < n)
+                        gj = j_lo + jax.lax.broadcasted_iota(
+                            jnp.int32, (tile_i, tile_j), 1
+                        )
+                        mask = mask & (gj > gi)
+                        if j_hi > n:
+                            mask = mask & (gj < n)
+                        if i_hi > n:
+                            mask = mask & (gi < n)
+                    else:
+                        # Padding masks only for tiles touching columns >= n.
+                        if j_hi > n:
+                            gj = j_lo + jax.lax.broadcasted_iota(
+                                jnp.int32, (tile_i, tile_j), 1
+                            )
+                            mask = mask & (gj < n)
+                        if i_hi > n:
+                            gi = i_lo + jax.lax.broadcasted_iota(
+                                jnp.int32, (tile_i, tile_j), 0
+                            )
+                            mask = mask & (gi < n)
 
-                coef, _du, _e, _ddu = lj_pair_terms(
-                    r2, mask, approx_reciprocal, want_observables=False
-                )
+                    coef, _du, _e, _ddu = lj_pair_terms(
+                        r2, mask, approx_reciprocal, want_observables=False
+                    )
 
-                fx = coef * dx
-                fy = coef * dy
-                fz = coef * dz
-                f_acc[0, isl] += jnp.sum(fx, axis=1)
-                f_acc[1, isl] += jnp.sum(fy, axis=1)
-                f_acc[2, isl] += jnp.sum(fz, axis=1)
-                # Newton's 3rd law reaction onto the j side (sequential
-                # in-program accumulation — safe, unlike grid kernels).
-                f_acc[0, jsl] -= jnp.sum(fx, axis=0)
-                f_acc[1, jsl] -= jnp.sum(fy, axis=0)
-                f_acc[2, jsl] -= jnp.sum(fz, axis=0)
+                    fx = coef * dx
+                    fy = coef * dy
+                    fz = coef * dz
+                    f_acc[0, isl] += jnp.sum(fx, axis=1)
+                    f_acc[1, isl] += jnp.sum(fy, axis=1)
+                    f_acc[2, isl] += jnp.sum(fz, axis=1)
+                    # Newton's 3rd law reaction onto the j side (sequential
+                    # in-program accumulation — safe, unlike grid kernels).
+                    f_acc[0, jsl] -= jnp.sum(fx, axis=0)
+                    f_acc[1, jsl] -= jnp.sum(fy, axis=0)
+                    f_acc[2, jsl] -= jnp.sum(fz, axis=0)
+
+                if use_flags:
+                    pl.when(flags_ref[it * n_j + jt] > 0)(tile_body)
+                else:
+                    tile_body()
 
         # a = 24 * raw sweep (prefactor restore, lj_potential_energy.f90:192)
         # + second half-kick. f_acc rows 3..7 were zeroed and never written.
         a_out[:, :] = 24.0 * f_acc[:, :]
-        v_out[:, :] = v_out[:, :] + a_out[:, :] * half_dt
+        if extended:
+            _comp_add(v_out, vc_out, a_out[:, :] * half_dt)
+        else:
+            v_out[:, :] = v_out[:, :] + a_out[:, :] * half_dt
         return carry
 
     jax.lax.fori_loop(0, n_steps, step_body, 0)
+
+
+def compute_tile_flags(
+    r: jax.Array,
+    n: int,
+    tile_i: int,
+    tile_j: int,
+    box_length: float,
+    window: float,
+) -> jax.Array:
+    """(n_i * n_j,) int32 tile-pair activity flags for the z-SORTED layout.
+
+    Tile (it, jt) is active iff the circular distance between the z-interval
+    of its real i columns and that of its real j columns is below ``window``
+    (= rc + sort skin). Columns >= n (padding, sorted last) are excluded;
+    all-padding tiles are inactive. Valid while no particle has moved more
+    than window - rc ... /2 from the sort-time positions (the engine tracks
+    this via its r_ref displacement check).
+    """
+    n_pad = r.shape[1]
+    n_i = n_pad // tile_i
+    n_j = n_pad // tile_j
+    L = box_length
+    big = jnp.asarray(jnp.inf, r.dtype)
+
+    col = jnp.arange(n_pad)
+    z = jnp.where(col < n, r[2], big)
+
+    def intervals(tile):
+        zt = z.reshape(n_pad // tile, tile)
+        lo = jnp.min(zt, axis=1)
+        hi = jnp.max(jnp.where(jnp.isfinite(zt), zt, -big), axis=1)
+        return lo, hi  # lo=+inf / hi=-inf for all-padding tiles
+
+    i_lo, i_hi = intervals(tile_i)
+    j_lo, j_hi = intervals(tile_j)
+
+    def gap(a_lo, a_hi, b_lo, b_hi):
+        return jnp.maximum(0.0, jnp.maximum(b_lo - a_hi, a_lo - b_hi))
+
+    a_lo = i_lo[:, None]
+    a_hi = i_hi[:, None]
+    g = jnp.stack(
+        [
+            gap(a_lo, a_hi, j_lo[None, :] + s, j_hi[None, :] + s)
+            for s in (-L, 0.0, L)
+        ]
+    ).min(axis=0)
+    active = (
+        (g < window)
+        & jnp.isfinite(a_hi)
+        & jnp.isfinite(j_hi)[None, :]
+    )
+    return active.astype(jnp.int32).reshape(-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n",
+        "box_length",
+        "rc_square",
+        "dt",
+        "n_steps",
+        "tile_i",
+        "tile_j",
+        "interpret",
+        "approx_reciprocal",
+    ),
+)
+def fused_dense_chunk_flags(
+    r: jax.Array,
+    v: jax.Array,
+    a: jax.Array,
+    flags: jax.Array,
+    n: int,
+    box_length: float,
+    rc_square: float,
+    dt: float,
+    n_steps: int,
+    tile_i: int = 128,
+    tile_j: int = 512,
+    interpret: bool = False,
+    approx_reciprocal: bool = True,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """``fused_dense_chunk`` with runtime tile-pair skipping: tiles whose
+    flag is 0 are not computed. Correctness requires the flags to be valid
+    for the WHOLE chunk (see compute_tile_flags / the zsort engine's
+    displacement bookkeeping)."""
+    if n_steps > MAX_CHUNK_STEPS:
+        raise ValueError(f"n_steps={n_steps} exceeds MAX_CHUNK_STEPS={MAX_CHUNK_STEPS}")
+    n_pad = r.shape[1]
+    kernel = functools.partial(
+        _fused_dense_kernel,
+        n=n,
+        n_pad=n_pad,
+        tile_i=tile_i,
+        tile_j=tile_j,
+        box_length=float(box_length),
+        inv_box_length=1.0 / float(box_length),
+        rc_square=float(rc_square),
+        dt=float(dt),
+        n_steps=n_steps,
+        approx_reciprocal=approx_reciprocal and not interpret,
+        use_flags=True,
+    )
+    out_shape = [jax.ShapeDtypeStruct((8, n_pad), r.dtype)] * 3
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    pairs_per_step = n_pad * n_pad // 2
+    return tuple(
+        pl.pallas_call(
+            kernel,
+            in_specs=[smem, vmem, vmem, vmem],
+            out_specs=[vmem, vmem, vmem],
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((8, n_pad), r.dtype)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=int(20 * pairs_per_step) * n_steps,
+                bytes_accessed=int(4 * 8 * n_pad * 7),
+                transcendentals=0,
+            ),
+        )(flags, r, v, a)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n",
+        "box_length",
+        "rc_square",
+        "dt",
+        "n_steps",
+        "tile_i",
+        "tile_j",
+        "interpret",
+        "approx_reciprocal",
+    ),
+)
+def fused_dense_chunk_ext(
+    r: jax.Array,
+    r_lo: jax.Array,
+    v: jax.Array,
+    vc: jax.Array,
+    a: jax.Array,
+    n: int,
+    box_length: float,
+    rc_square: float,
+    dt: float,
+    n_steps: int,
+    tile_i: int = 128,
+    tile_j: int = 1024,
+    interpret: bool = False,
+    approx_reciprocal: bool = True,
+) -> tuple[jax.Array, ...]:
+    """Extended-precision variant of ``fused_dense_chunk``: two-float
+    positions (r + r_lo) and compensated velocities (v + vc), with the pair
+    displacements corrected by the remainder rows inside the sweep — the
+    f32 drift fix for dt ~ 5e-3 (see _fused_dense_kernel doc). Returns
+    (r, r_lo, v, vc, a) after ``n_steps``."""
+    if n_steps > MAX_CHUNK_STEPS:
+        raise ValueError(f"n_steps={n_steps} exceeds MAX_CHUNK_STEPS={MAX_CHUNK_STEPS}")
+    n_pad = r.shape[1]
+    kernel = functools.partial(
+        _fused_dense_kernel,
+        n=n,
+        n_pad=n_pad,
+        tile_i=tile_i,
+        tile_j=tile_j,
+        box_length=float(box_length),
+        inv_box_length=1.0 / float(box_length),
+        rc_square=float(rc_square),
+        dt=float(dt),
+        n_steps=n_steps,
+        approx_reciprocal=approx_reciprocal and not interpret,
+        extended=True,
+    )
+    out_shape = [jax.ShapeDtypeStruct((8, n_pad), r.dtype)] * 5
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    pairs_per_step = n_pad * n_pad // 2
+    return tuple(
+        pl.pallas_call(
+            kernel,
+            in_specs=[vmem] * 5,
+            out_specs=[vmem] * 5,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((8, n_pad), r.dtype)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=int(46 * pairs_per_step) * n_steps,
+                bytes_accessed=int(4 * 8 * n_pad * 11),
+                transcendentals=0,
+            ),
+        )(r, r_lo, v, vc, a)
+    )
 
 
 @functools.partial(

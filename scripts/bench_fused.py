@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ljmd_tpu.config import config_from_density
-from ljmd_tpu.models.engine import make_engine, _pallas_rows_engine
+from ljmd_tpu.models.engine import make_engine, _pallas_rows_engine, _zsort_engine
 from ljmd_tpu.models.lattice import fcc_lattice, random_velocities, remove_com_velocity
 from ljmd_tpu.state import MDState
 
@@ -29,37 +29,35 @@ def bench(num_cells: int, n_steps: int = 2000):
     v = v * jnp.sqrt(0.728 / (jnp.sum(v * v) / (3 * cfg.n)))
     state = MDState(r=r, ru=r, v=v, a=jnp.zeros_like(r))
 
-    eng = _pallas_rows_engine(cfg)
-    carry0, _ = eng.init(state)
-
-    @jax.jit
-    def run_scan(c):
-        def body(cc, _):
-            cc2, _ob = eng.step_fast(cc)
-            return cc2, None
-        out, _ = jax.lax.scan(body, c, None, length=n_steps)
-        return out
-
-    @jax.jit
-    def run_fused(c):
-        return eng.run_fast(c, n_steps)
+    engines = [("rows", _pallas_rows_engine(cfg))]
+    try:
+        engines.append(("zsort", _zsort_engine(cfg)))
+    except ValueError as e:
+        print("zsort unavailable:", e)
 
     def sync(c):
         return float(jnp.sum(c.v))
 
-    for name, fn in [("scan", run_scan), ("fused", run_fused)]:
-        c = fn(carry0)
+    for ename, eng in engines:
+        carry0, _ = eng.init(state)
+
+        @jax.jit
+        def run_fused(c, eng=eng):
+            return eng.run_fast(c, n_steps)
+
+        c = run_fused(carry0)
         sync(c)  # compile + settle
         best = 1e30
         for _ in range(3):
             t0 = time.perf_counter()
-            c = fn(carry0)
+            c = run_fused(carry0)
             sync(c)
             best = min(best, time.perf_counter() - t0)
         us_per_step = best / n_steps * 1e6
         rate = cfg.n * n_steps / best
-        print(f"N={cfg.n:6d} {name:6s}: {us_per_step:8.2f} us/step  "
-              f"{rate:.3e} particle-steps/s")
+        diag = {k: bool(jax.device_get(v)) for k, v in eng.diagnostics(c).items()}
+        print(f"N={cfg.n:6d} {ename:6s}: {us_per_step:8.2f} us/step  "
+              f"{rate:.3e} particle-steps/s  {diag}", flush=True)
 
 
 if __name__ == "__main__":

@@ -31,9 +31,33 @@ def main(num_cells: int = 25, n_steps: int = 200):
     v = v * jnp.sqrt(0.728 / (jnp.sum(v * v) / (3 * n)))
     state = MDState(r=r, ru=r, v=v, a=jnp.zeros_like(r))
 
-    for name, kwargs in [("full9", dict(half_shell=False)),
-                         ("halfshell", dict(half_shell=True))]:
-        eng = _cellpair_engine(cfg, **kwargs)
+    # Melt the lattice with the lattice-safe default capacity, then time the
+    # equilibrated fluid with the tight capacity (production restart pattern).
+    eng0 = _cellpair_engine(cfg)
+    c0, _ = eng0.init(state)
+
+    @jax.jit
+    def warm(c):
+        def body(cc, _):
+            cc2, _ob = eng0.step_fast(cc)
+            return cc2, None
+        out, _ = jax.lax.scan(body, c, None, length=300)
+        return out
+
+    c0 = warm(c0)
+    state = eng0.get_state(c0)
+    print(f"warmup done (default cap, overflow={bool(jax.device_get(c0.overflow))})",
+          flush=True)
+
+    import dataclasses as _dc
+
+    cfg_tight = _dc.replace(cfg, neighbor_capacity=384)
+
+    for name, cfg_b, kwargs in [
+        ("full9", cfg_tight, dict(half_shell=False)),
+        ("halfshell", cfg_tight, dict(half_shell=True)),
+    ]:
+        eng = _cellpair_engine(cfg_b, **kwargs)
         carry, _ = eng.init(state)
 
         @jax.jit

@@ -96,3 +96,52 @@ def test_run_fast_production_driver_parity():
     np.testing.assert_allclose(
         np.asarray(got.series), np.asarray(want.series), rtol=1e-8, atol=1e-10
     )
+
+
+def test_zsort_engine_matches_rows_engine():
+    """z-sorted tile-skip fused engine == rows engine over fused stretches
+    with resorts (f64 interpret); skipped tiles must contribute exact zeros."""
+    from ljmd_tpu.models.engine import _zsort_engine
+
+    cfg = config_from_density(
+        num_cells=6, density=0.8, dt=0.004, dtype="float64",
+        total_steps=10, warmup_steps=50, target_total_energy=-4000.0,
+    )
+    state = initialize(cfg, backend="dense")
+    ez = _zsort_engine(cfg, interpret=True, inner_chunk=8)
+    er = _pallas_rows_engine(cfg, interpret=True)
+
+    cz, obz = ez.init(state)
+    cr, obr = er.init(state)
+    assert float(obz.epot) == pytest.approx(float(obr.epot), rel=1e-12)
+
+    cz = jax.jit(lambda c: ez.run_fast(c, 40))(cz)
+    cr = jax.jit(lambda c: er.run_fast(c, 40))(cr)
+    sz, sr = ez.get_state(cz), er.get_state(cr)
+    for field in ("r", "ru", "v", "a"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sz, field)), np.asarray(getattr(sr, field)),
+            rtol=1e-10, atol=1e-10, err_msg=field,
+        )
+    assert not bool(jax.device_get(cz.invalid))
+    _, ob1 = jax.jit(ez.step)(cz)
+    _, ob2 = jax.jit(er.step)(cr)
+    assert float(ob1.epot) == pytest.approx(float(ob2.epot), rel=1e-11)
+
+
+def test_zsort_production_driver():
+    """backend='zsort' through run_production matches dense."""
+    from ljmd_tpu.models.simulation import run_production
+
+    cfg = config_from_density(
+        num_cells=6, density=0.8, dt=0.003, dtype="float64",
+        total_steps=60, output_interval=10, warmup_steps=10,
+        target_total_energy=-4000.0,
+    )
+    state = initialize(cfg, backend="dense")
+    want = run_production(cfg, state, backend="dense")
+    got = run_production(cfg, state, backend="zsort")
+    np.testing.assert_allclose(
+        np.asarray(got.series), np.asarray(want.series), rtol=1e-8, atol=1e-9
+    )
+    assert not bool(jax.device_get(got.diagnostics["zsort_invalid"]))
