@@ -51,7 +51,7 @@ def main(n_steps: int, variants):
 
         block = jax.jit(lambda c, eng=eng: eng.run_fast(c, check_every - 1))
         step1 = jax.jit(eng.step)
-        worst = 0.0
+        rels = []
         t0 = time.perf_counter()
         done = 0
         while done < n_steps:
@@ -59,11 +59,15 @@ def main(n_steps: int, variants):
             carry, ob = step1(carry)
             done += check_every
             e = float(ob.epot) + float(ob.ekin)
-            rel = abs(e - e0) / abs(e0)
-            worst = max(worst, rel)
+            rels.append((e - e0) / abs(e0))
         dt_s = time.perf_counter() - t0
-        print(f"{name:6s}: steps={done} max|dE/E|={worst:.3e} "
-              f"E0={e0:.2f} rate={n*done/dt_s:.3e} p-s/s", flush=True)
+        rels = np.asarray(rels)
+        steps_axis = np.arange(1, len(rels) + 1) * check_every
+        slope = np.polyfit(steps_axis, rels, 1)[0] * 1e6  # secular dE/E per 1e6
+        print(f"{name:6s}: steps={done} max|dE/E|={np.max(np.abs(rels)):.3e} "
+              f"final={rels[-1]:+.3e} secular_slope={slope:+.3e}/1e6 "
+              f"fluct_std={np.std(rels):.3e} E0={e0:.2f} "
+              f"rate={n*done/dt_s:.3e} p-s/s", flush=True)
 
 
 if __name__ == "__main__":

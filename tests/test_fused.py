@@ -145,3 +145,41 @@ def test_zsort_production_driver():
         np.asarray(got.series), np.asarray(want.series), rtol=1e-8, atol=1e-9
     )
     assert not bool(jax.device_get(got.diagnostics["zsort_invalid"]))
+
+
+def test_wrap_positions_ext_preserves_two_float_sum():
+    """Two-float wrap: hi' + lo' == (hi + lo) - k*L exactly (within f64
+    evaluation of the f32 pair), including |k| = 2."""
+    from ljmd_tpu.ops.pallas_fused import wrap_positions_ext
+
+    L = 16.796875  # not a power of two
+    hi = jnp.asarray([-2.0 * L + 0.3, -0.7, 0.1, L - 0.1, 1.9 * L, 2.0 * L + 0.4],
+                     jnp.float32)
+    lo = jnp.asarray([1e-7, -3e-8, 2e-8, 5e-8, -1e-7, 4e-8], jnp.float32)
+    hi2, lo2 = wrap_positions_ext(hi, lo, L)
+    assert float(jnp.min(hi2)) >= 0.0 and float(jnp.max(hi2)) < L
+    k = np.floor(np.asarray(hi, np.float64) / L)
+    want = np.asarray(hi, np.float64) + np.asarray(lo, np.float64) - k * L
+    got = np.asarray(hi2, np.float64) + np.asarray(lo2, np.float64)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_compute_tile_flags_circular_and_padding():
+    from ljmd_tpu.ops.pallas_fused import compute_tile_flags
+
+    L = 10.0
+    n_pad = 1024
+    n = 896  # last 128 columns are padding; 7 real tiles of z-span ~1.43
+    zreal = np.linspace(0.0, L, n, endpoint=False)
+    r = jnp.zeros((8, n_pad), jnp.float64).at[2, :n].set(jnp.asarray(zreal))
+    flags = np.asarray(compute_tile_flags(r, n, 128, 128, L, 1.0)).reshape(8, 8)
+    # distant tiles off: tile 0 z~[0,1.42], tile 3 z~[4.29,5.7] -> gap 2.9 > 1
+    assert flags[0, 3] == 0 and flags[3, 0] == 0
+    # adjacent tiles on
+    assert flags[0, 1] == 1 and flags[2, 3] == 1
+    # circular wrap: first and last REAL tiles touch through z = 0/L
+    assert flags[0, 6] == 1 and flags[6, 0] == 1
+    # padding tile (7) inactive everywhere
+    assert flags[7, :].sum() == 0 and flags[:, 7].sum() == 0
+    # diagonal on
+    assert all(flags[i, i] == 1 for i in range(7))
