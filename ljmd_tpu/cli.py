@@ -243,7 +243,7 @@ def build_parser() -> argparse.ArgumentParser:
     def common(sp):
         sp.add_argument("--config", help="reference block-text or JSON config file")
         sp.add_argument("--backend", default="auto",
-                        choices=["auto", "dense", "pallas", "neighbor", "cellpair"])
+                        choices=["auto", "dense", "pallas", "zsort", "neighbor", "cellpair"])
 
     sp = sub.add_parser("init-config", help="build + warm up an initial configuration")
     common(sp)

@@ -248,8 +248,8 @@ def _pallas_rows_engine(
     # 12% per 100k steps plain vs 5e-4 compensated). Cost is a few
     # elementwise row ops — negligible next to the pair sweep.
     if compensated is None:
-        compensated = cfg.compensated_sum or cfg.dt <= 1.0e-3
-    compensated = compensated and dtype == jnp.float32
+        # auto: only f32 needs it (f64 increments don't underflow)
+        compensated = (cfg.compensated_sum or cfg.dt <= 1.0e-3) and dtype == jnp.float32
 
     def init(state: MDState):
         r8 = to_rows(state.r)
@@ -369,7 +369,9 @@ class ZSortCarry:
     reference positions from the last sort (displacement criterion), the
     tile-pair activity flags, and a sticky validity flag (set if a particle
     outran the sort skin between checks — results then suspect, mirroring
-    the pencil engine's overflow flag)."""
+    the pencil engine's overflow flag). ``rlo``/``vc`` are the two-float
+    position remainders / velocity compensation terms of the extended
+    precision mode (zeros otherwise)."""
 
     r: jax.Array
     ru: jax.Array
@@ -379,15 +381,18 @@ class ZSortCarry:
     r_ref: jax.Array
     flags: jax.Array
     invalid: jax.Array
+    rlo: jax.Array
+    vc: jax.Array
 
 
 def _zsort_engine(
     cfg: SimConfig,
     interpret: bool | None = None,
-    sort_skin: float = 1.0,
-    inner_chunk: int = 16,
+    sort_skin: float = 0.7,
+    inner_chunk: int = 8,
     tile_i: int = 128,
     tile_j: int = 512,
+    extended: bool | None = None,
 ) -> Engine:
     """Dense fused engine with z-sorted tile skipping.
 
@@ -404,12 +409,18 @@ def _zsort_engine(
     from ljmd_tpu.ops.pallas_fused import (
         compute_tile_flags,
         fused_dense_chunk_flags,
+        wrap_positions_ext,
     )
     from ljmd_tpu.ops.pallas_lj import (
         _round_up,
         pallas_pair_sweep_tri,
     )
 
+    if extended is None:
+        # auto: only f32 needs it (f64 has headroom at these dts)
+        extended = (cfg.compensated_sum or cfg.dt <= 1.0e-3) and (
+            jnp.dtype(cfg.dtype) == jnp.float32
+        )
     if interpret is None:
         try:
             interpret = jax.devices()[0].platform != "tpu"
@@ -459,11 +470,12 @@ def _zsort_engine(
     def _flags(r8):
         return compute_tile_flags(r8, n, tile_i, tile_j, L, window)
 
-    def _sort(r8, ru8, v8, a8, ids):
+    def _sort(c_arrays):
+        r8, ru8, v8, a8, ids, rlo, vcc = c_arrays
         key = jnp.where(ids >= 0, r8[2], jnp.asarray(jnp.inf, dtype))
         order = jnp.argsort(key)
-        r8 = r8[:, order]
-        return r8, ru8[:, order], v8[:, order], a8[:, order], ids[order]
+        return (r8[:, order], ru8[:, order], v8[:, order], a8[:, order],
+                ids[order], rlo[:, order], vcc[:, order])
 
     def init(state: MDState):
         r8 = jnp.zeros((8, n_pad), dtype).at[0:3, :n].set(state.r.T.astype(dtype))
@@ -471,13 +483,14 @@ def _zsort_engine(
         v8 = jnp.zeros((8, n_pad), dtype).at[0:3, :n].set(state.v.T.astype(dtype))
         a8 = jnp.zeros((8, n_pad), dtype)
         ids = jnp.where(jnp.arange(n_pad) < n, jnp.arange(n_pad), -1).astype(jnp.int32)
-        r8, ru8, v8, a8, ids = _sort(r8, ru8, v8, a8, ids)
+        zero = jnp.zeros_like(r8)
+        r8, ru8, v8, a8, ids, rlo, vcc = _sort((r8, ru8, v8, a8, ids, zero, zero))
         out = sweep(r8)
         a8 = 24.0 * out * row_mask
         ekin = 0.5 * jnp.sum(v8 * v8)
         carry = ZSortCarry(
             r=r8, ru=ru8, v=v8, a=a8, ids=ids, r_ref=r8, flags=_flags(r8),
-            invalid=jnp.asarray(False),
+            invalid=jnp.asarray(False), rlo=rlo, vc=vcc,
         )
         return carry, obs_from(out, ekin)
 
@@ -486,15 +499,27 @@ def _zsort_engine(
     half_dt_sq = 0.5 * cfg.dt * cfg.dt
 
     def _step(c: ZSortCarry, want_obs: bool):
-        r_new = wrap_positions(c.r + c.v * dt + c.a * half_dt_sq, L)
-        v_half = c.v + c.a * half_dt
+        if extended:
+            delta = (c.v + c.vc) * dt + c.a * half_dt_sq
+            r_raw, rlo = _comp_add(c.r, c.rlo, delta)
+            r_new, rlo = wrap_positions_ext(r_raw, rlo, L)
+            v_half, vc_half = _comp_add(c.v, c.vc, c.a * half_dt)
+        else:
+            r_new = wrap_positions(c.r + c.v * dt + c.a * half_dt_sq, L)
+            rlo = c.rlo
+            v_half, vc_half = c.v + c.a * half_dt, c.vc
         out = sweep(r_new, want_obs)
         a_new = 24.0 * out * row_mask
-        v_new = v_half + a_new * half_dt
-        ekin = 0.5 * jnp.sum(v_new * v_new)
+        if extended:
+            v_new, vc_new = _comp_add(v_half, vc_half, a_new * half_dt)
+            v_eff = v_new + vc_new
+        else:
+            v_new, vc_new = v_half + a_new * half_dt, vc_half
+            v_eff = v_new
+        ekin = 0.5 * jnp.sum(v_eff * v_eff)
         ru_new = c.ru + minimum_image(r_new - c.r, L)
         carry = dataclasses.replace(
-            c, r=r_new, ru=ru_new, v=v_new, a=a_new
+            c, r=r_new, ru=ru_new, v=v_new, a=a_new, rlo=rlo, vc=vc_new
         )
         return carry, obs_from(out, ekin)
 
@@ -505,10 +530,12 @@ def _zsort_engine(
         invalid = c.invalid | (moved2 > invalid_thresh)
 
         def do(c):
-            r8, ru8, v8, a8, ids = _sort(c.r, c.ru, c.v, c.a, c.ids)
+            r8, ru8, v8, a8, ids, rlo, vcc = _sort(
+                (c.r, c.ru, c.v, c.a, c.ids, c.rlo, c.vc)
+            )
             return dataclasses.replace(
                 c, r=r8, ru=ru8, v=v8, a=a8, ids=ids, r_ref=r8,
-                flags=_flags(r8),
+                flags=_flags(r8), rlo=rlo, vc=vcc,
             )
 
         c = lax.cond(moved2 > resort_thresh, do, lambda c: c, c)
@@ -516,6 +543,17 @@ def _zsort_engine(
 
     def _chunk(c: ZSortCarry, k: int) -> ZSortCarry:
         c = _maybe_resort(c)
+        if extended:
+            r_end, rlo_end, v, vcc, a = fused_dense_chunk_flags(
+                c.r, c.v, c.a, c.flags, n, L, cfg.rc_square, dt, k,
+                tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+                r_lo=c.rlo, vc=c.vc,
+            )
+            ru = c.ru + ((r_end - c.r) + (rlo_end - c.rlo))
+            r_w, rlo_w = wrap_positions_ext(r_end, rlo_end, L)
+            return dataclasses.replace(
+                c, r=r_w, ru=ru, v=v, a=a, rlo=rlo_w, vc=vcc
+            )
         r_end, v, a = fused_dense_chunk_flags(
             c.r, c.v, c.a, c.flags, n, L, cfg.rc_square, dt, k,
             tile_i=tile_i, tile_j=tile_j, interpret=interpret,
@@ -544,7 +582,8 @@ def _zsort_engine(
             out = out.at[idx].set(arr[0:3, :].T)
             return out[:n]
 
-        return MDState(r=gather(c.r), ru=gather(c.ru), v=gather(c.v), a=gather(c.a))
+        v8 = c.v + c.vc if extended else c.v
+        return MDState(r=gather(c.r), ru=gather(c.ru), v=gather(v8), a=gather(c.a))
 
     return Engine(
         init=init,

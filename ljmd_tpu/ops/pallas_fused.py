@@ -337,13 +337,18 @@ def fused_dense_chunk_flags(
     tile_j: int = 512,
     interpret: bool = False,
     approx_reciprocal: bool = True,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    r_lo: jax.Array | None = None,
+    vc: jax.Array | None = None,
+) -> tuple[jax.Array, ...]:
     """``fused_dense_chunk`` with runtime tile-pair skipping: tiles whose
     flag is 0 are not computed. Correctness requires the flags to be valid
     for the WHOLE chunk (see compute_tile_flags / the zsort engine's
-    displacement bookkeeping)."""
+    displacement bookkeeping). Passing ``r_lo``/``vc`` enables the extended
+    two-float-precision mode (see fused_dense_chunk_ext); the return is then
+    (r, r_lo, v, vc, a) instead of (r, v, a)."""
     if n_steps > MAX_CHUNK_STEPS:
         raise ValueError(f"n_steps={n_steps} exceeds MAX_CHUNK_STEPS={MAX_CHUNK_STEPS}")
+    extended = r_lo is not None
     n_pad = r.shape[1]
     kernel = functools.partial(
         _fused_dense_kernel,
@@ -358,25 +363,28 @@ def fused_dense_chunk_flags(
         n_steps=n_steps,
         approx_reciprocal=approx_reciprocal and not interpret,
         use_flags=True,
+        extended=extended,
     )
-    out_shape = [jax.ShapeDtypeStruct((8, n_pad), r.dtype)] * 3
+    n_state = 5 if extended else 3
+    out_shape = [jax.ShapeDtypeStruct((8, n_pad), r.dtype)] * n_state
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     pairs_per_step = n_pad * n_pad // 2
+    ins = (flags, r, r_lo, v, vc, a) if extended else (flags, r, v, a)
     return tuple(
         pl.pallas_call(
             kernel,
-            in_specs=[smem, vmem, vmem, vmem],
-            out_specs=[vmem, vmem, vmem],
+            in_specs=[smem] + [vmem] * n_state,
+            out_specs=[vmem] * n_state,
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((8, n_pad), r.dtype)],
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=int(20 * pairs_per_step) * n_steps,
-                bytes_accessed=int(4 * 8 * n_pad * 7),
+                flops=int((26 if extended else 20) * pairs_per_step) * n_steps,
+                bytes_accessed=int(4 * 8 * n_pad * (2 * n_state + 1)),
                 transcendentals=0,
             ),
-        )(flags, r, v, a)
+        )(*ins)
     )
 
 

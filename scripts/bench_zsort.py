@@ -26,11 +26,10 @@ def main():
     n_steps = 2000
 
     variants = [
-        dict(sort_skin=1.0, inner_chunk=16, tile_j=512),
-        dict(sort_skin=1.2, inner_chunk=32, tile_j=512),
-        dict(sort_skin=1.0, inner_chunk=16, tile_j=1024),
-        dict(sort_skin=1.2, inner_chunk=32, tile_j=1024),
         dict(sort_skin=0.7, inner_chunk=8, tile_j=512),
+        dict(sort_skin=0.7, inner_chunk=8, tile_j=512, extended=True),
+        dict(sort_skin=0.5, inner_chunk=8, tile_j=512),
+        dict(sort_skin=0.7, inner_chunk=16, tile_j=512),
     ]
     for kw in variants:
         eng = _zsort_engine(cfg, **kw)

@@ -183,3 +183,32 @@ def test_compute_tile_flags_circular_and_padding():
     assert flags[7, :].sum() == 0 and flags[:, 7].sum() == 0
     # diagonal on
     assert all(flags[i, i] == 1 for i in range(7))
+
+
+def test_zsort_extended_matches_rows_compensated():
+    """zsort extended (flags + two-float) fused path == per-step compensated
+    rows engine (f64 interpret; explicit flags force the real code path)."""
+    from ljmd_tpu.models.engine import _zsort_engine
+
+    cfg = config_from_density(
+        num_cells=6, density=0.8, dt=0.0008, dtype="float64",
+        total_steps=10, warmup_steps=30, target_total_energy=-4000.0,
+    )
+    state = initialize(cfg, backend="dense")
+    ez = _zsort_engine(cfg, interpret=True, inner_chunk=8, extended=True)
+    er = _pallas_rows_engine(cfg, interpret=True, compensated=True)
+    cz, _ = ez.init(state)
+    cr, _ = er.init(state)
+
+    def body(c, _):
+        c2, _o = er.step_fast(c)
+        return c2, None
+
+    cr2 = jax.jit(lambda c: jax.lax.scan(body, c, None, length=40)[0])(cr)
+    cz2 = jax.jit(lambda c: ez.run_fast(c, 40))(cz)
+    sz, sr = ez.get_state(cz2), er.get_state(cr2)
+    for field in ("r", "ru", "v", "a"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sz, field)), np.asarray(getattr(sr, field)),
+            rtol=1e-10, atol=1e-12, err_msg=field,
+        )
