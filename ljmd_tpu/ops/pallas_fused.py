@@ -174,7 +174,8 @@ def _fused_dense_kernel(
 
                 def tile_body(it=it, jt=jt, i_lo=i_lo, i_hi=i_hi,
                               j_lo=j_lo, j_hi=j_hi, xi=xi, yi=yi, zi=zi,
-                              xi_lo=xi_lo, yi_lo=yi_lo, zi_lo=zi_lo):
+                              xi_lo=xi_lo, yi_lo=yi_lo, zi_lo=zi_lo,
+                              mic_z=True):
                     jsl = slice(j_lo, j_hi)
                     xj = r_out[0, jsl].reshape(1, tile_j)
                     yj = r_out[1, jsl].reshape(1, tile_j)
@@ -192,7 +193,8 @@ def _fused_dense_kernel(
                         dz = dz + (zi_lo - rlo_out[2, jsl].reshape(1, tile_j))
                     dx = dx - L * jnp.round(dx * inv_l)
                     dy = dy - L * jnp.round(dy * inv_l)
-                    dz = dz - L * jnp.round(dz * inv_l)
+                    if mic_z:
+                        dz = dz - L * jnp.round(dz * inv_l)
                     r2 = dx * dx + dy * dy + dz * dz
 
                     mask = r2 < rc_square
@@ -239,6 +241,11 @@ def _fused_dense_kernel(
                     f_acc[2, jsl] -= jnp.sum(fz, axis=0)
 
                 if use_flags:
+                    # Single full-MIC body for any active flag. (A 2-branch
+                    # variant skipping the z round on direct-only tiles was
+                    # measured SLOWER — 98.97 -> 134.4 us/step at N=4000 —
+                    # the per-tile pl.when pair defeats Mosaic pipelining;
+                    # see CLAUDE.md perf notes.)
                     pl.when(flags_ref[it * n_j + jt] > 0)(tile_body)
                 else:
                     tile_body()
@@ -262,6 +269,7 @@ def compute_tile_flags(
     tile_j: int,
     box_length: float,
     window: float,
+    face_margin: float | None = None,
 ) -> jax.Array:
     """(n_i * n_j,) int32 tile-pair activity flags for the z-SORTED layout.
 
@@ -295,18 +303,30 @@ def compute_tile_flags(
 
     a_lo = i_lo[:, None]
     a_hi = i_hi[:, None]
-    g = jnp.stack(
-        [
-            gap(a_lo, a_hi, j_lo[None, :] + s, j_hi[None, :] + s)
-            for s in (-L, 0.0, L)
-        ]
-    ).min(axis=0)
-    active = (
-        (g < window)
-        & jnp.isfinite(a_hi)
-        & jnp.isfinite(j_hi)[None, :]
+    finite = jnp.isfinite(a_hi) & jnp.isfinite(j_hi)[None, :]
+    g_direct = gap(a_lo, a_hi, j_lo[None, :], j_hi[None, :])
+    g_wrap = jnp.minimum(
+        gap(a_lo, a_hi, j_lo[None, :] - L, j_hi[None, :] - L),
+        gap(a_lo, a_hi, j_lo[None, :] + L, j_hi[None, :] + L),
     )
-    return active.astype(jnp.int32).reshape(-1)
+    # 2-bit flags: bit 0 = direct z-interval within window, bit 1 = wrapped
+    # image within window. Direct-only tiles (flag 1) can skip the z-MIC
+    # round() in the kernel; flags 2/3 keep it.
+    #
+    # Boundary hazard: a particle wrapping across z = 0/L between chunks
+    # jumps its RAW coordinate by L while physically moving epsilon, so a
+    # direct-only tile whose interval touches a box face would silently lose
+    # that pair without the z round. Force full MIC (bit 1) on any tile pair
+    # where either interval is within face_margin of a face.
+    if face_margin is None:
+        face_margin = window
+    direct = (g_direct < window) & finite
+    wrapped = (g_wrap < window) & finite
+    near_i = (i_lo < face_margin) | (i_hi > L - face_margin)
+    near_j = (j_lo < face_margin) | (j_hi > L - face_margin)
+    near_face = near_i[:, None] | near_j[None, :]
+    wrapped = wrapped | (direct & near_face)
+    return (direct.astype(jnp.int32) + 2 * wrapped.astype(jnp.int32)).reshape(-1)
 
 
 @functools.partial(

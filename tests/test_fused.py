@@ -175,14 +175,18 @@ def test_compute_tile_flags_circular_and_padding():
     flags = np.asarray(compute_tile_flags(r, n, 128, 128, L, 1.0)).reshape(8, 8)
     # distant tiles off: tile 0 z~[0,1.42], tile 3 z~[4.29,5.7] -> gap 2.9 > 1
     assert flags[0, 3] == 0 and flags[3, 0] == 0
-    # adjacent tiles on
-    assert flags[0, 1] == 1 and flags[2, 3] == 1
-    # circular wrap: first and last REAL tiles touch through z = 0/L
-    assert flags[0, 6] == 1 and flags[6, 0] == 1
+    # interior adjacent tiles: direct only (z-MIC skippable)
+    assert flags[2, 3] == 1 and flags[3, 4] == 1
+    # face-adjacent tiles keep full MIC (a particle wrapping across z=0/L
+    # jumps its raw coordinate by L): bit 1 forced
+    assert flags[0, 1] == 3
+    # circular wrap: first and last REAL tiles touch through z = 0/L only
+    # via the wrapped image -> flag bit 1 (value 2)
+    assert flags[0, 6] == 2 and flags[6, 0] == 2
     # padding tile (7) inactive everywhere
     assert flags[7, :].sum() == 0 and flags[:, 7].sum() == 0
-    # diagonal on
-    assert all(flags[i, i] == 1 for i in range(7))
+    # diagonal on: interior direct-only, face tiles full-MIC
+    assert flags[3, 3] == 1 and flags[0, 0] == 3 and flags[6, 6] == 3
 
 
 def test_zsort_extended_matches_rows_compensated():
@@ -211,4 +215,25 @@ def test_zsort_extended_matches_rows_compensated():
         np.testing.assert_allclose(
             np.asarray(getattr(sz, field)), np.asarray(getattr(sr, field)),
             rtol=1e-10, atol=1e-12, err_msg=field,
+        )
+
+
+def test_zsort_frames_particle_order():
+    """record_frames with the zsort backend must return frames in particle
+    order (get_state unscrambles the sort permutation every sample)."""
+    from ljmd_tpu.models.simulation import run_production
+
+    cfg = config_from_density(
+        num_cells=6, density=0.8, dt=0.003, dtype="float64",
+        total_steps=30, output_interval=10, warmup_steps=0,
+        target_total_energy=-4000.0,
+    )
+    state = initialize(cfg, backend="dense")
+    want = run_production(cfg, state, backend="dense", record_frames=True)
+    got = run_production(cfg, state, backend="zsort", record_frames=True)
+    for field in ("r", "ru", "v", "a"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got.frames, field)),
+            np.asarray(getattr(want.frames, field)),
+            rtol=1e-8, atol=1e-9, err_msg=field,
         )
