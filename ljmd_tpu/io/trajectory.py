@@ -17,7 +17,7 @@ import numpy as np
 
 from ljmd_tpu.io.fortran_records import _HEADER_FMT, _xyz_to_record, write_record
 
-__all__ = ["TrajectoryWriter"]
+__all__ = ["AsyncTrajectoryWriter", "TrajectoryWriter"]
 
 
 class TrajectoryWriter:
@@ -96,6 +96,91 @@ class TrajectoryWriter:
         self._f.seek(4)  # skip leading record marker
         self._f.write(struct.pack(_HEADER_FMT, *self._header_args, self._frames_written))
         self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class AsyncTrajectoryWriter:
+    """rva.dat writer backed by the native C++ worker thread
+    (native/ljmd_native.cpp ljmd_rva_async_*): ``append`` enqueues the frame
+    block and returns immediately, so the device never waits for disk; the
+    header is patched with the actual frame count on close. Falls back to
+    the synchronous Python ``TrajectoryWriter`` when the native library is
+    unavailable. Same interface as TrajectoryWriter."""
+
+    def __init__(
+        self,
+        path: str,
+        n: int,
+        box_length: float,
+        dt: float,
+        output_interval: int,
+        n_snapshots_expected: int,
+    ):
+        from ljmd_tpu.utils import native
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.path = path
+        self.n = n
+        self._frames_written = 0
+        self._handle = native.async_writer_open(
+            path, n, box_length, dt, output_interval, n_snapshots_expected
+        )
+        self._fallback = None
+        if self._handle is None:
+            self._fallback = TrajectoryWriter(
+                path, n, box_length, dt, output_interval, n_snapshots_expected
+            )
+
+    @classmethod
+    def open_for_append(cls, path, n, box_length, dt, output_interval,
+                        frames_present) -> "AsyncTrajectoryWriter":
+        from ljmd_tpu.utils import native
+
+        self = cls.__new__(cls)
+        self.path = path
+        self.n = n
+        self._frames_written = frames_present
+        self._handle = native.async_writer_open(
+            path, n, box_length, dt, output_interval, 0,
+            append=True, frames_present=frames_present,
+        )
+        self._fallback = None
+        if self._handle is None:
+            self._fallback = TrajectoryWriter.open_for_append(
+                path, n, box_length, dt, output_interval, frames_present
+            )
+        return self
+
+    def append(self, r, ru, v, a) -> None:
+        from ljmd_tpu.utils import native
+
+        if self._fallback is not None:
+            self._fallback.append(r, ru, v, a)
+            self._frames_written = self._fallback.frames_written
+            return
+        arrs = [np.asarray(x, dtype=np.float64) for x in (r, ru, v, a)]
+        n_frames = 1 if arrs[0].ndim == 2 else arrs[0].shape[0]
+        native.async_writer_append(self._handle, *arrs)
+        self._frames_written += n_frames
+
+    @property
+    def frames_written(self) -> int:
+        return self._frames_written
+
+    def close(self) -> None:
+        from ljmd_tpu.utils import native
+
+        if self._fallback is not None:
+            self._fallback.close()
+            return
+        if self._handle is not None:
+            native.async_writer_close(self._handle)
+            self._handle = None
 
     def __enter__(self):
         return self

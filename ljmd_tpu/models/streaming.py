@@ -26,7 +26,7 @@ import numpy as np
 from jax import lax
 
 from ljmd_tpu.config import SimConfig
-from ljmd_tpu.io.trajectory import TrajectoryWriter
+from ljmd_tpu.io.trajectory import AsyncTrajectoryWriter
 from ljmd_tpu.models.engine import make_engine
 from ljmd_tpu.models.simulation import SimResult, _advance, _cadence, sample_steps
 from ljmd_tpu.state import MDState
@@ -131,13 +131,15 @@ def run_production_streaming(
 
     writer = None
     if write_frames:
+        # Native async writer (C++ worker thread): trajectory IO overlaps
+        # the next chunk's compute; Python TrajectoryWriter fallback inside.
         if resumed is None or not os.path.exists(os.path.join(out_dir, "rva.dat")):
-            writer = TrajectoryWriter(
+            writer = AsyncTrajectoryWriter(
                 os.path.join(out_dir, "rva.dat"), cfg.n, cfg.box_length, cfg.dt,
                 cfg.output_interval, n_samples,
             )
         else:
-            writer = TrajectoryWriter.open_for_append(
+            writer = AsyncTrajectoryWriter.open_for_append(
                 os.path.join(out_dir, "rva.dat"), cfg.n, cfg.box_length,
                 cfg.dt, cfg.output_interval, start_sample,
             )

@@ -154,3 +154,52 @@ def read_rva_native(path: str):
         output_interval=int(interval.value), n_snapshots=n_frames,
         r=r, ru=ru, v=v, a=a,
     )
+
+
+def async_writer_open(path: str, n: int, box_length: float, dt: float,
+                      output_interval: int, n_expected: int,
+                      append: bool = False, frames_present: int = 0):
+    """Open the native ASYNC rva.dat appender (worker thread drains a frame
+    queue so trajectory IO overlaps compute). Returns an opaque handle or
+    None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_async_configured"):
+        dbl_arr = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+        lib.ljmd_rva_async_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        ]
+        lib.ljmd_rva_async_open.restype = ctypes.c_void_p
+        lib.ljmd_rva_async_append.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, dbl_arr, dbl_arr, dbl_arr, dbl_arr,
+        ]
+        lib.ljmd_rva_async_append.restype = ctypes.c_int
+        lib.ljmd_rva_async_close.argtypes = [ctypes.c_void_p]
+        lib.ljmd_rva_async_close.restype = ctypes.c_int
+        lib.ljmd_rva_async_frames.argtypes = [ctypes.c_void_p]
+        lib.ljmd_rva_async_frames.restype = ctypes.c_int64
+        lib._async_configured = True
+    handle = lib.ljmd_rva_async_open(
+        path.encode(), n, float(box_length), float(dt), int(output_interval),
+        int(n_expected), 1 if append else 0, int(frames_present),
+    )
+    return handle or None
+
+
+def async_writer_append(handle, r, ru, v, a) -> None:
+    lib = load()
+    arrs = [np.ascontiguousarray(x, dtype=np.float64) for x in (r, ru, v, a)]
+    if arrs[0].ndim == 2:
+        arrs = [x[None] for x in arrs]
+    rc = lib.ljmd_rva_async_append(handle, arrs[0].shape[0], *arrs)
+    if rc != 0:
+        raise RuntimeError(f"ljmd_rva_async_append failed: {rc}")
+
+
+def async_writer_close(handle) -> None:
+    lib = load()
+    rc = lib.ljmd_rva_async_close(handle)
+    if rc != 0:
+        raise RuntimeError(f"ljmd_rva_async_close failed: {rc}")

@@ -11,9 +11,13 @@
 //
 // All functions return 0 on success, negative error codes otherwise.
 
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
+#include <mutex>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -112,6 +116,162 @@ int ljmd_write_rva(const char *path, int32_t n, double box_length, double dt,
   if (fclose(f) != 0 && rc == 0) rc = -3;
   return rc;
 }
+
+// ---------------------------------------------------------------------
+// Async streaming writer: a worker thread drains a queue of frame blocks,
+// so host-side trajectory IO overlaps device compute (the reference writes
+// synchronously inside its MD loop, md_simulation_program.f90:384-387; the
+// TPU driver fetches sampled blocks per chunk and must not stall on disk).
+// ---------------------------------------------------------------------
+
+namespace {
+
+struct AsyncWriter {
+  FILE *f = nullptr;
+  int32_t n = 0;
+  double box_length = 0, dt = 0;
+  int32_t interval = 0;
+  int64_t frames_written = 0;
+  int error = 0;
+
+  std::thread worker;
+  std::mutex mu;
+  std::condition_variable cv;
+  std::deque<std::vector<double>> queue;  // each: (n_frames*4*3n) doubles
+  std::deque<int32_t> queue_frames;
+  bool closing = false;
+
+  void run() {
+    std::vector<double> scratch((size_t)3 * n);
+    for (;;) {
+      std::vector<double> block;
+      int32_t n_frames = 0;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] { return !queue.empty() || closing; });
+        if (queue.empty()) {
+          if (closing) return;
+          continue;
+        }
+        block = std::move(queue.front());
+        queue.pop_front();
+        n_frames = queue_frames.front();
+        queue_frames.pop_front();
+      }
+      const int64_t frame_len = (int64_t)3 * n;
+      for (int32_t s = 0; s < n_frames && error == 0; ++s) {
+        for (int k = 0; k < 4 && error == 0; ++k) {
+          const double *frame = block.data() + ((size_t)s * 4 + k) * frame_len;
+          frame_to_components(frame, n, scratch.data());
+          int rc = write_record(f, scratch.data(), frame_len * 8);
+          if (rc != 0) error = rc;
+        }
+      }
+      if (error == 0) frames_written += n_frames;
+      cv.notify_all();  // wake a close() waiting for drain
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Open an rva.dat for async appending. append=0: create + write header with
+// n_expected; append=1: reopen r+b, seek to end, frames_present already on
+// disk. Returns an opaque handle (NULL on failure).
+void *ljmd_rva_async_open(const char *path, int32_t n, double box_length,
+                          double dt, int32_t output_interval,
+                          int32_t n_expected, int32_t append,
+                          int64_t frames_present) {
+  AsyncWriter *w = new AsyncWriter();
+  w->n = n;
+  w->box_length = box_length;
+  w->dt = dt;
+  w->interval = output_interval;
+  if (append) {
+    w->f = fopen(path, "r+b");
+    if (w->f) fseek(w->f, 0, SEEK_END);
+    w->frames_written = frames_present;
+  } else {
+    w->f = fopen(path, "wb");
+    if (w->f) {
+      struct __attribute__((packed)) Header {
+        int32_t n;
+        double L, dt;
+        int32_t interval, n_snap;
+      } h = {n, box_length, dt, output_interval, n_expected};
+      if (write_record(w->f, &h, sizeof(h)) != 0) {
+        fclose(w->f);
+        w->f = nullptr;
+      }
+    }
+  }
+  if (!w->f) {
+    delete w;
+    return nullptr;
+  }
+  w->worker = std::thread([w] { w->run(); });
+  return w;
+}
+
+// Enqueue a block of frames ((n_frames, n, 3) float64 row-major per stream)
+// and return immediately; the worker thread formats and writes them.
+int ljmd_rva_async_append(void *handle, int32_t n_frames, const double *r,
+                          const double *ru, const double *v, const double *a) {
+  AsyncWriter *w = (AsyncWriter *)handle;
+  if (!w || n_frames < 0) return -1;
+  if (w->error) return w->error;
+  const int64_t frame_len = (int64_t)3 * w->n;
+  std::vector<double> block((size_t)n_frames * 4 * frame_len);
+  const double *streams[4] = {r, ru, v, a};
+  for (int32_t s = 0; s < n_frames; ++s)
+    for (int k = 0; k < 4; ++k)
+      std::memcpy(block.data() + ((size_t)s * 4 + k) * frame_len,
+                  streams[k] + (size_t)s * frame_len, frame_len * 8);
+  {
+    std::lock_guard<std::mutex> lk(w->mu);
+    w->queue.push_back(std::move(block));
+    w->queue_frames.push_back(n_frames);
+  }
+  w->cv.notify_all();
+  return 0;
+}
+
+// Drain the queue, patch the header with the actual frame count, close the
+// file, and free the handle. Returns the writer's error status (0 = ok).
+int ljmd_rva_async_close(void *handle) {
+  AsyncWriter *w = (AsyncWriter *)handle;
+  if (!w) return -1;
+  {
+    std::lock_guard<std::mutex> lk(w->mu);
+    w->closing = true;
+  }
+  w->cv.notify_all();
+  if (w->worker.joinable()) w->worker.join();
+  int rc = w->error;
+  if (w->f) {
+    struct __attribute__((packed)) Header {
+      int32_t n;
+      double L, dt;
+      int32_t interval, n_snap;
+    } h = {w->n, w->box_length, w->dt, w->interval, (int32_t)w->frames_written};
+    if (fseek(w->f, 4, SEEK_SET) == 0) fwrite(&h, sizeof(h), 1, w->f);
+    if (fclose(w->f) != 0 && rc == 0) rc = -3;
+  }
+  delete w;
+  return rc;
+}
+
+// Frames durably formatted so far (after a drain this equals submitted).
+int64_t ljmd_rva_async_frames(void *handle) {
+  AsyncWriter *w = (AsyncWriter *)handle;
+  if (!w) return -1;
+  std::lock_guard<std::mutex> lk(w->mu);
+  return w->frames_written;
+}
+
+}  // extern "C"
 
 // Read an rva.dat header (4-byte markers). Returns 0 on success.
 int ljmd_read_rva_header(const char *path, int32_t *n, double *box_length,

@@ -54,3 +54,40 @@ def test_native_file_readable_by_python_codec(lib, tmp_path):
     np.testing.assert_array_equal(d2.a, frames["a"])
     # byte-identical outputs
     assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_async_writer_matches_sync_writer(tmp_path):
+    """AsyncTrajectoryWriter produces byte-identical rva.dat to the Python
+    TrajectoryWriter, including the patched header and the append/resume
+    path."""
+    import numpy as np
+
+    from ljmd_tpu.io.fortran_records import read_rva
+    from ljmd_tpu.io.trajectory import AsyncTrajectoryWriter, TrajectoryWriter
+    from ljmd_tpu.utils import native
+
+    rng = np.random.default_rng(0)
+    n, frames = 40, 7
+    blocks = [rng.normal(size=(k, n, 3)) for k in (3, 4)]
+    args = (n, 8.5, 0.002, 10)
+
+    p_sync = str(tmp_path / "sync.dat")
+    w = TrajectoryWriter(p_sync, *args, n_snapshots_expected=frames)
+    for b in blocks:
+        w.append(b, b + 1, b + 2, b + 3)
+    w.close()
+
+    p_async = str(tmp_path / "async.dat")
+    w = AsyncTrajectoryWriter(p_async, *args, n_snapshots_expected=frames)
+    assert (w._fallback is None) == native.available()
+    w.append(blocks[0], blocks[0] + 1, blocks[0] + 2, blocks[0] + 3)
+    w.close()
+    # resume-style append of the second block
+    w = AsyncTrajectoryWriter.open_for_append(p_async, *args, frames_present=3)
+    w.append(blocks[1], blocks[1] + 1, blocks[1] + 2, blocks[1] + 3)
+    w.close()
+
+    assert open(p_sync, "rb").read() == open(p_async, "rb").read()
+    data = read_rva(p_async)
+    assert data.r.shape == (frames, n, 3)
+    np.testing.assert_allclose(data.v[3:], blocks[1] + 2)
