@@ -663,6 +663,10 @@ def _cellpair_engine(
         pallas_pencil_sweep_hs,
         sentinel_fill,
     )
+    from ljmd_tpu.ops.pallas_pencil_fused import (
+        fused_pencil_chunk,
+        pencil_fused_viable,
+    )
 
     if interpret is None:
         try:
@@ -739,6 +743,15 @@ def _cellpair_engine(
             .astype(jnp.int32)
         )
 
+    def _permute_stacked(arrs, new_slot):
+        """Apply the slot permutation to several (8, ns) arrays with ONE
+        lane-dim scatter (its cost is dominated by the index stream, not the
+        row count — measured ~1 ms per scatter at ns=75k on v5e)."""
+        stacked = jnp.concatenate(arrs, axis=0)
+        out = jnp.zeros((stacked.shape[0], ns + 1), dtype)
+        out = out.at[:, new_slot].set(stacked)[:, :ns]
+        return [out[8 * i:8 * (i + 1)] for i in range(len(arrs))]
+
     # Half-shell sweeps count each pair ONCE (prefactors 4/24, like the
     # dense triangular kernel); the full 9-neighbor sweep counts twice.
     e_pref, d_pref = (4.0, 24.0) if half_shell else (2.0, 12.0)
@@ -764,7 +777,7 @@ def _cellpair_engine(
             jnp.arange(n, dtype=dtype)
         )[:ns]
         r8 = r8.at[3, :].set(valid).at[4, :].set(ids)
-        r8 = sentinel_fill(r8, valid)
+        r8 = sentinel_fill(r8, valid, grid.capacity)
         ru8 = _scatter_rows(state.ru, slot)
         v8 = _scatter_rows(state.v, slot)
         counts = _counts_from_valid(valid)
@@ -813,19 +826,18 @@ def _cellpair_engine(
             # permutes with the slots).
             r8 = r8.at[0:3].set(wrap_positions(r8[0:3], L))
             new_slot, overflow = rebin_slots(r8, r8[3, :], grid)
-
-            def permute(arr):
-                out = jnp.zeros((8, ns + 1), dtype)
-                out = out.at[:, new_slot].set(arr)
-                return out[:, :ns]
-
-            r8p = permute(r8)  # rows 3/4 (validity, ids) move with the slots
-            r8p = sentinel_fill(r8p, r8p[3, :])
+            # One stacked scatter instead of one per array: the lane-dim
+            # scatter's cost is index-bound (~1 ms each at ns=75k on v5e).
+            to_permute = [r8, ru8, v8] + ([vc8] if compensated else [])
+            permuted = _permute_stacked(to_permute, new_slot)
+            r8p = permuted[0]  # rows 3/4 (validity, ids) move with the slots
+            r8p = sentinel_fill(r8p, r8p[3, :], grid.capacity)
             counts_p = _counts_from_valid(r8p[3, :])
             wins_p, w_ovf = _windows(r8p, r8p[3, :], counts_p)
             return (
-                r8p, permute(ru8), permute(v8),
-                jnp.zeros_like(r8p), permute(vc8),
+                r8p, permuted[1], permuted[2],
+                jnp.zeros_like(r8p),
+                permuted[3] if compensated else vc8,
                 r8p, counts_p,
                 wins_p[0], wins_p[1], wins_p[2], overflow | w_ovf,
             )
@@ -863,6 +875,82 @@ def _cellpair_engine(
     def step_fast(c: PencilCarry):
         return _step(c, False)
 
+    # ---- fused multi-step path (run_fast) ----------------------------------
+    # Rebin checks move from per-step to per-chunk. A static tightened
+    # threshold wastes rebins (the displacement tail at N~6e4 crosses any
+    # usable margin every chunk), so the trigger is PREDICTIVE per particle:
+    # rebin when max_i(|d_i| + |v_i| * k * dt * safety) would cross skin/2
+    # during the coming chunk. A displacement past skin/2 observed at a
+    # check sets the sticky overflow flag (possible missed pairs during the
+    # last chunk) — the zsort engine's honesty pattern.
+    chunk_invalid_thresh = (0.5 * skin) ** 2
+    _PREDICT_SAFETY = 1.25
+
+    def _rebin_carry(c: PencilCarry) -> PencilCarry:
+        r8 = c.r.at[0:3].set(wrap_positions(c.r[0:3], L))
+        new_slot, b_ovf = rebin_slots(r8, r8[3, :], grid)
+        # a rides along (the next chunk's first half-kick uses it); position
+        # compensation resets at the wrap like the per-step path.
+        to_permute = [r8, c.ru, c.v, c.a] + ([c.vc] if compensated else [])
+        permuted = _permute_stacked(to_permute, new_slot)
+        r8p = permuted[0]
+        r8p = sentinel_fill(r8p, r8p[3, :], grid.capacity)
+        counts_p = _counts_from_valid(r8p[3, :])
+        wins_p, w_ovf = _windows(r8p, r8p[3, :], counts_p)
+        return dataclasses.replace(
+            c, r=r8p, ru=permuted[1], v=permuted[2], a=permuted[3],
+            rc=jnp.zeros_like(r8p),
+            vc=permuted[4] if compensated else c.vc,
+            r_ref=r8p, counts=counts_p,
+            win_a=wins_p[0], win_b=wins_p[1], use_b=wins_p[2],
+            overflow=c.overflow | b_ovf | w_ovf,
+        )
+
+    def _maybe_rebin(c: PencilCarry, k: int) -> PencilCarry:
+        valid = c.r[3]
+        d = minimum_image(c.r[0:3] - c.r_ref[0:3], L)
+        moved2 = jnp.sum(d * d, axis=0) * valid
+        c = dataclasses.replace(
+            c, overflow=c.overflow | (jnp.max(moved2) > chunk_invalid_thresh)
+        )
+        speed = jnp.sqrt(jnp.sum(c.v[0:3] * c.v[0:3], axis=0))
+        predicted = jnp.sqrt(moved2) + speed * (k * dt * _PREDICT_SAFETY)
+        will_exceed = jnp.max(predicted * valid) > 0.5 * skin
+        return lax.cond(will_exceed, _rebin_carry, lambda cc: cc, c)
+
+    inner_chunk = 8
+
+    def _chunk(c: PencilCarry, k: int) -> PencilCarry:
+        c = _maybe_rebin(c, k)
+        r_end, v_new, a_new = fused_pencil_chunk(
+            c.r, c.v, c.a, hs_tbl, hs_shf,
+            grid.n_pencils, grid.capacity, L, cfg.rc_square, dt, k,
+            interpret=interpret, approx_reciprocal=not interpret,
+        )
+        # No wrap inside the chunk -> the unwrap update is the exact
+        # slot-space displacement (rows 3/4 of r are untouched by the
+        # kernel, so the delta's aux rows are zero; mask for safety).
+        ru_new = c.ru + (r_end - c.r) * xyz_mask
+        return dataclasses.replace(c, r=r_end, ru=ru_new, v=v_new, a=a_new)
+
+    def run_fast(c: PencilCarry, n_steps: int) -> PencilCarry:
+        full, rem = divmod(n_steps, inner_chunk)
+        if full > 0:
+            c, _ = lax.scan(
+                lambda cc, _: (_chunk(cc, inner_chunk), None),
+                c, None, length=full,
+            )
+        if rem:
+            c = _chunk(c, rem)
+        return c
+
+    use_fused = (
+        half_shell
+        and not z_band
+        and not compensated
+        and pencil_fused_viable(ns, jnp.dtype(dtype).itemsize)
+    )
+
     def get_state(c: PencilCarry) -> MDState:
         """Slot layout -> particle order via the id row (positions wrapped
         back into [0, L) — slot coordinates may drift slightly outside
@@ -889,6 +977,7 @@ def _cellpair_engine(
         get_state=get_state,
         diagnostics=lambda c: {"pencil_overflow": c.overflow},
         step_fast=step_fast,
+        run_fast=run_fast if use_fused else None,
     )
 
 

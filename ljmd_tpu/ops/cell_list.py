@@ -150,6 +150,19 @@ def _pencil_ids(x: jax.Array, y: jax.Array, grid: PencilGrid) -> jax.Array:
     return ix * grid.m_xy + iy
 
 
+def _run_starts(sorted_key: jax.Array) -> jax.Array:
+    """For a SORTED key vector, the index of the first element of each
+    element's run. O(n) cummax — jnp.searchsorted(x, x) computes the same
+    thing but costs ~9 ms at n=75k on v5e (vmapped binary-search gathers)
+    vs ~0.8 ms for the scan."""
+    n = sorted_key.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    changed = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]]
+    )
+    return jax.lax.cummax(jnp.where(changed, idx, 0))
+
+
 @partial(jax.jit, static_argnames=("grid",))
 def bin_to_slots(r: jax.Array, grid: PencilGrid):
     """Bin (N, 3) wrapped positions into pencil slots.
@@ -166,9 +179,7 @@ def bin_to_slots(r: jax.Array, grid: PencilGrid):
     key = pid.astype(jnp.float64) * (grid.box_length + 1.0) + r[:, 2].astype(jnp.float64)
     order = jnp.argsort(key, stable=True)
     sorted_pid = pid[order]
-    # rank within pencil: position in the (contiguous) pid run
-    first_of_run = jnp.searchsorted(sorted_pid, sorted_pid, side="left")
-    ranks_sorted = jnp.arange(n) - first_of_run
+    ranks_sorted = jnp.arange(n) - _run_starts(sorted_pid)
     ranks = jnp.zeros((n,), jnp.int32).at[order].set(ranks_sorted.astype(jnp.int32))
     overflow = jnp.any(ranks >= grid.capacity)
     slot = pid * grid.capacity + jnp.minimum(ranks, grid.capacity - 1)
@@ -196,8 +207,7 @@ def rebin_slots(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid):
     )
     order = jnp.argsort(key, stable=True)
     sorted_pid = pid_key[order]
-    first_of_run = jnp.searchsorted(sorted_pid, sorted_pid, side="left")
-    ranks_sorted = (jnp.arange(ns) - first_of_run).astype(jnp.int32)
+    ranks_sorted = (jnp.arange(ns) - _run_starts(sorted_pid)).astype(jnp.int32)
     ranks = jnp.zeros((ns,), jnp.int32).at[order].set(ranks_sorted)
     overflow = jnp.any(is_valid & (ranks >= grid.capacity))
     new_slot = jnp.where(

@@ -13,11 +13,15 @@ the reference's i<j loop with Newton's-3rd-law scatter
   map is the k-shift PERMUTATION of pencil ids (p -> tbl[p,k] is a bijection
   on the torus), so each block is written exactly once per sweep and the
   cross-program reduction is four elementwise adds — no gather/scatter.
-- Empty slots carry SENTINEL coordinates (x = SENT_BASE + global slot, far
-  outside the box) instead of a validity row: sentinel-vs-real pairs fail
-  the cutoff automatically, removing the validity mask ops from the hot
-  loop. Sentinel-vs-sentinel pairs can pass the cutoff (spacing 1), so the
-  caller multiplies the output by the validity row once per sweep.
+- Empty slots carry SENTINEL coordinates (x = SENT_BASE*(1 + pencil) +
+  rank, far outside the box) instead of a validity row: sentinel-vs-real
+  pairs fail the cutoff automatically, removing the validity mask ops from
+  the hot loop. CROSS-pencil sentinel pairs are >= SENT_BASE - capacity - L
+  apart (never pass the cutoff, and their r^2 cannot overflow the pair
+  math); SAME-pencil sentinel pairs (self sweep only) have unit spacing and
+  can pass the cutoff with O(1) coefficients, so the caller multiplies the
+  output by the validity row once per sweep. SENT_BASE is small enough that
+  base + rank stays exactly representable in f32 (unit spacing survives).
 
 Output convention: PAIR-ONCE partials (prefactors 4 / 24, like the
 triangular dense kernel), rows 0..2 forces without the 24, rows 3..5
@@ -44,7 +48,11 @@ __all__ = [
 ]
 
 TILE_I = 128
-SENT_BASE = 1.0e6  # sentinel x for empty slots: SENT_BASE + global slot index
+# Sentinel x for the empty slots of pencil p: SENT_BASE * (1 + p) + rank.
+# 1e4 keeps base + rank exact in f32 up to ~1600 pencils (values < 2^24)
+# while separating pencils by ~1e4 >> L, so cross-pencil sentinel r^2 is
+# ~1e8 — far outside any cutoff yet far from f32 overflow in r^-14 terms.
+SENT_BASE = 1.0e4
 
 _HALF_SHELL = ((0, 1), (1, -1), (1, 0), (1, 1))
 
@@ -240,12 +248,20 @@ def pallas_pencil_sweep_hs(
     return out1 + o2a + o2b + o2c + o2d
 
 
-def sentinel_fill(rows_r: jax.Array, valid: jax.Array) -> jax.Array:
+def sentinel_fill(rows_r: jax.Array, valid: jax.Array, capacity: int) -> jax.Array:
     """Write sentinel coordinates into the xyz rows of invalid slots
-    (x = SENT_BASE + global slot, y = z = 0); aux rows untouched."""
+    (x = SENT_BASE * (1 + pencil) + rank, y = z = 0); aux rows untouched.
+
+    Per-pencil bases keep cross-pencil sentinel pairs ~1e4 apart regardless
+    of the box length (the old global-slot scheme could place two sentinels
+    from different pencils within the cutoff of each other's xy-shifted
+    image whenever L sat near an integer, overflowing r^-14 in f32)."""
     ns = rows_r.shape[1]
     dtype = rows_r.dtype
-    slot_x = SENT_BASE + jnp.arange(ns, dtype=dtype)
+    slot = jnp.arange(ns)
+    pencil = slot // capacity
+    rank = slot - pencil * capacity
+    slot_x = (SENT_BASE * (1.0 + pencil) + rank).astype(dtype)
     ok = valid > 0.5
     x = jnp.where(ok, rows_r[0], slot_x)
     y = jnp.where(ok, rows_r[1], 0.0)

@@ -1,0 +1,77 @@
+"""Fused multi-step pencil kernel (ops/pallas_pencil_fused.py) vs the
+per-step cellpair path: trajectory parity in f64 interpret mode, including
+across chunk-boundary rebins.
+
+The fused kernel reorders the force summation (one in-program accumulator
+instead of out1 + 4 permuted reaction blocks), so agreement is to roundoff,
+not bit-exact — mirrors the dense run_fast tests.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ljmd_tpu.config import config_from_density
+from ljmd_tpu.models.engine import _cellpair_engine
+from ljmd_tpu.models.lattice import fcc_lattice, random_velocities, remove_com_velocity
+from ljmd_tpu.state import MDState
+
+
+def _liquid_state(cfg, temp, seed=0):
+    n = cfg.n
+    r = fcc_lattice(cfg.num_cells, cfg.box_length, dtype=jnp.float64)
+    v = remove_com_velocity(
+        random_velocities(jax.random.PRNGKey(seed), n, dtype=jnp.float64)
+    )
+    v = v * jnp.sqrt(temp / (jnp.sum(v * v) / (3 * n)))
+    return MDState(r=r, ru=r, v=v, a=jnp.zeros_like(r))
+
+
+@pytest.mark.parametrize("temp", [0.8, 1.5])
+def test_fused_pencil_matches_per_step(temp):
+    cfg = config_from_density(
+        num_cells=5, density=0.5, dt=0.005, dtype="float64", neighbor_skin=0.4
+    )
+    eng = _cellpair_engine(cfg)
+    assert eng.run_fast is not None
+    c0, _ = eng.init(_liquid_state(cfg, temp))
+    # advance off the lattice so rebins can trigger inside the window
+    for _ in range(20):
+        c0, _ = eng.step_fast(c0)
+
+    n_steps = 17  # 2 full chunks + remainder
+    ca = c0
+    for _ in range(n_steps):
+        ca, _ = eng.step_fast(ca)
+    cb = eng.run_fast(c0, n_steps)
+
+    sa, sb = eng.get_state(ca), eng.get_state(cb)
+    assert not bool(cb.overflow)
+    for name in ("r", "ru", "v"):
+        da = float(jnp.max(jnp.abs(getattr(sa, name) - getattr(sb, name))))
+        assert da < 1e-10, f"{name} diverged: {da}"
+    assert float(jnp.max(jnp.abs(sa.a - sb.a))) < 1e-8
+
+
+def test_fused_pencil_energy_matches_per_step():
+    """Total energy after 64 fused steps equals the per-step path's (a
+    missed pair in the fused sweep would show up here at O(1), far above
+    the summation-order roundoff). Absolute NVE conservation from this
+    violent lattice-collapse start is integration error, identical in both
+    paths and in the dense oracle — not what this test pins."""
+    cfg = config_from_density(
+        num_cells=5, density=0.5, dt=0.003, dtype="float64", neighbor_skin=0.4
+    )
+    eng = _cellpair_engine(cfg)
+    c0, _ = eng.init(_liquid_state(cfg, 1.0))
+    ca = c0
+    for _ in range(64):
+        ca, oa = eng.step(ca)
+    cb = eng.run_fast(c0, 64)
+    _, ob = eng.step(cb)
+    ea = float(oa.epot + oa.ekin)
+    _, oa2 = eng.step(ca)
+    ea2 = float(oa2.epot + oa2.ekin)
+    eb = float(ob.epot + ob.ekin)
+    assert abs(eb - ea2) < 1e-6 * abs(ea2), (ea, ea2, eb)
+    assert not bool(cb.overflow)
