@@ -61,38 +61,56 @@ def main() -> None:
 
     # Production-representative loop: the driver runs the un-sampled steps
     # through run_fast (fused multi-step kernels) when the engine has one.
-    if engine.run_fast is not None:
-        @jax.jit
-        def run(c):
-            return engine.run_fast(c, n_steps)
-    else:
-        step_hot = engine.step_fast or engine.step
+    def make_run(k):
+        if engine.run_fast is not None:
+            @jax.jit
+            def run(c):
+                return engine.run_fast(c, k)
+        else:
+            step_hot = engine.step_fast or engine.step
 
-        @jax.jit
-        def run(c):
-            def body(cc, _):
-                cc2, ob = step_hot(cc)
-                return cc2, None
+            @jax.jit
+            def run(c):
+                def body(cc, _):
+                    cc2, ob = step_hot(cc)
+                    return cc2, None
 
-            out, _ = jax.lax.scan(body, c, None, length=n_steps)
-            return out
+                out, _ = jax.lax.scan(body, c, None, length=k)
+                return out
+        return run
 
     def sync_scalar(c):
         # data-dependent fetch: robust sync even where block_until_ready is
         # unreliable (axon tunnel)
         return float(jnp.sum(engine.get_state(c).v[0]))
 
+    # DIFFERENTIAL timing: each timed dispatch+fetch through the axon
+    # tunnel carries a large fixed cost (~30 ms measured with an empty
+    # kernel — scripts/exp_* round 2), so a single absolute measurement of
+    # an n-step run overstates the per-step time by 30ms/n. Timing two run
+    # lengths and taking the slope cancels the fixed cost exactly.
+    n_long = 4 * n_steps if on_tpu else 2 * n_steps
+    run_short = make_run(n_steps)
+    run_long = make_run(n_long)
+
     # warmup/compile + short equilibration
-    carry = run(carry)
+    carry = run_short(carry)
+    _ = sync_scalar(carry)
+    carry = run_long(carry)
     _ = sync_scalar(carry)
 
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        carry = run(carry)
+        carry = run_short(carry)
         _ = sync_scalar(carry)
-        dt_s = time.perf_counter() - t0
-        best = max(best, cfg.n * n_steps / dt_s)
+        t1 = time.perf_counter()
+        carry = run_long(carry)
+        _ = sync_scalar(carry)
+        t2 = time.perf_counter()
+        slope = ((t2 - t1) - (t1 - t0)) / (n_long - n_steps)
+        if slope > 0:
+            best = max(best, cfg.n / slope)
 
     # quick energy sanity on the final state
     _, obs = engine.step(carry)
@@ -105,7 +123,8 @@ def main() -> None:
         "vs_baseline": best / NORTH_STAR,
         "platform": platform,
         "n": cfg.n,
-        "steps_timed": n_steps,
+        "steps_timed": n_steps + n_long,
+        "timing": "differential (slope of two run lengths; cancels the ~30ms fixed dispatch+fetch cost of the TPU tunnel)",
         "etot_per_particle": etot_per_n,
     }
     print(json.dumps(result))

@@ -380,6 +380,8 @@ class ZSortCarry:
     ids: jax.Array
     r_ref: jax.Array
     flags: jax.Array
+    tiles: jax.Array
+    tcounts: jax.Array
     invalid: jax.Array
     rlo: jax.Array
     vc: jax.Array
@@ -407,8 +409,10 @@ def _zsort_engine(
     (order-agnostic) triangular sweep, so sampled observables are always
     exact regardless of flag staleness."""
     from ljmd_tpu.ops.pallas_fused import (
+        build_tile_lists,
         compute_tile_flags,
         fused_dense_chunk_flags,
+        fused_dense_chunk_list,
         wrap_positions_ext,
     )
     from ljmd_tpu.ops.pallas_lj import (
@@ -467,8 +471,16 @@ def _zsort_engine(
             dd_epot=24.0 * jnp.sum(out[5]) + jnp.asarray(dd_t, dtype),
         )
 
+    # The list kernel's SMEM tile arrays scale as O(n_i * n_j); past a few
+    # thousand entries they crowd SMEM, and at large N the unrolled flags
+    # kernel's tile grid is huge anyway — the list path targets the small/
+    # mid-N regime where zsort is the engine of choice.
+    use_list = (n_pad // tile_i) * (n_pad // tile_j) <= 8192
+
     def _flags(r8):
-        return compute_tile_flags(r8, n, tile_i, tile_j, L, window)
+        flags = compute_tile_flags(r8, n, tile_i, tile_j, L, window)
+        tiles, tcounts = build_tile_lists(flags, n, n_pad, tile_i, tile_j)
+        return flags, tiles, tcounts
 
     def _sort(c_arrays):
         r8, ru8, v8, a8, ids, rlo, vcc = c_arrays
@@ -488,8 +500,10 @@ def _zsort_engine(
         out = sweep(r8)
         a8 = 24.0 * out * row_mask
         ekin = 0.5 * jnp.sum(v8 * v8)
+        flags0, tiles0, tcounts0 = _flags(r8)
         carry = ZSortCarry(
-            r=r8, ru=ru8, v=v8, a=a8, ids=ids, r_ref=r8, flags=_flags(r8),
+            r=r8, ru=ru8, v=v8, a=a8, ids=ids, r_ref=r8, flags=flags0,
+            tiles=tiles0, tcounts=tcounts0,
             invalid=jnp.asarray(False), rlo=rlo, vc=vcc,
         )
         return carry, obs_from(out, ekin)
@@ -533,9 +547,11 @@ def _zsort_engine(
             r8, ru8, v8, a8, ids, rlo, vcc = _sort(
                 (c.r, c.ru, c.v, c.a, c.ids, c.rlo, c.vc)
             )
+            flags2, tiles2, tcounts2 = _flags(r8)
             return dataclasses.replace(
                 c, r=r8, ru=ru8, v=v8, a=a8, ids=ids, r_ref=r8,
-                flags=_flags(r8), rlo=rlo, vc=vcc,
+                flags=flags2, tiles=tiles2, tcounts=tcounts2,
+                rlo=rlo, vc=vcc,
             )
 
         c = lax.cond(moved2 > resort_thresh, do, lambda c: c, c)
@@ -554,10 +570,16 @@ def _zsort_engine(
             return dataclasses.replace(
                 c, r=r_w, ru=ru, v=v, a=a, rlo=rlo_w, vc=vcc
             )
-        r_end, v, a = fused_dense_chunk_flags(
-            c.r, c.v, c.a, c.flags, n, L, cfg.rc_square, dt, k,
-            tile_i=tile_i, tile_j=tile_j, interpret=interpret,
-        )
+        if use_list:
+            r_end, v, a = fused_dense_chunk_list(
+                c.r, c.v, c.a, c.tiles, c.tcounts, n, L, cfg.rc_square, dt, k,
+                tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+            )
+        else:
+            r_end, v, a = fused_dense_chunk_flags(
+                c.r, c.v, c.a, c.flags, n, L, cfg.rc_square, dt, k,
+                tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+            )
         ru = c.ru + (r_end - c.r)
         return dataclasses.replace(
             c, r=wrap_positions(r_end, L), ru=ru, v=v, a=a

@@ -50,10 +50,12 @@ from ljmd_tpu.ops.pallas_common import lj_pair_terms
 
 __all__ = [
     "MAX_CHUNK_STEPS",
+    "build_tile_lists",
     "compute_tile_flags",
     "fused_dense_chunk",
     "fused_dense_chunk_ext",
     "fused_dense_chunk_flags",
+    "fused_dense_chunk_list",
     "wrap_positions_ext",
 ]
 
@@ -549,4 +551,221 @@ def fused_dense_chunk(
                 transcendentals=0,
             ),
         )(r, v, a)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Active-tile-LIST fused kernel.
+#
+# Measured on v5e at N=4000 (scripts/exp_zfloor.py): the flags kernel pays a
+# ~90 us/step floor with ZERO active tiles, FLAT in the number of tile visits
+# (256 -> 128 visits: 90 -> 95 us) — the cost tracks the statically-unrolled
+# code footprint (256 pl.when regions), not the branch count, and it
+# dominates the ~18 us of actual pair math. This variant replaces the
+# unrolled double tile loop with a data-driven fori_loop over a COMPACT list
+# of active tiles (scalar-prefetched offsets), so the per-step code is one
+# tile body, executed only for live tiles. Two lists keep the hot body
+# mask-free: "pure" tiles (fully above the diagonal, no padding columns) run
+# with the bare cutoff mask; "masked" tiles (diagonal-crossing or touching
+# columns >= n) add the rank/padding masks — applying those masks is a no-op
+# for any tile, so one masked body covers every special case.
+# ---------------------------------------------------------------------------
+
+
+def build_tile_lists(
+    flags: jax.Array,
+    n: int,
+    n_pad: int,
+    tile_i: int,
+    tile_j: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Compact the (n_i*n_j,) activity flags into per-category tile-offset
+    lists for ``fused_dense_chunk_list``.
+
+    Returns (tiles (4, n_i*n_j) int32, tcounts (2,) int32): rows 0/1 are the
+    i/j TILE INDICES of the "pure" tiles, rows 2/3 of the "masked" tiles;
+    entries past the counts are zero (never visited)."""
+    n_i = n_pad // tile_i
+    n_j = n_pad // tile_j
+    f2 = (flags > 0).reshape(n_i, n_j)
+    i_lo = (jnp.arange(n_i) * tile_i)[:, None]
+    j_lo = (jnp.arange(n_j) * tile_j)[None, :]
+    visited = (j_lo + tile_j - 1) > i_lo  # some gj > gi exists in the tile
+    needs_mask = (
+        (j_lo < i_lo + tile_i) | (j_lo + tile_j > n) | (i_lo + tile_i > n)
+    )
+    active = f2 & visited
+    pure = active & ~needs_mask
+    maskd = active & needs_mask
+
+    def pack(m):
+        # Store tile INDICES, not offsets: the kernel multiplies by the
+        # static tile size so Mosaic can prove the dynamic lane slices are
+        # 128-aligned (a raw SMEM offset is unprovable).
+        idx = jnp.nonzero(m.ravel(), size=n_i * n_j, fill_value=0)[0]
+        return (
+            (idx // n_j).astype(jnp.int32),
+            (idx % n_j).astype(jnp.int32),
+            m.sum().astype(jnp.int32),
+        )
+
+    pi, pj, np_ = pack(pure)
+    mi, mj, nm = pack(maskd)
+    return jnp.stack([pi, pj, mi, mj]), jnp.stack([np_, nm])
+
+
+def _fused_dense_list_kernel(
+    tcounts_ref,  # SMEM (2,) int32: [n_pure, n_masked]
+    tiles_ref,    # SMEM (4, max_t) int32: i/j offsets per category
+    r_in, v_in, a_in,
+    r_out, v_out, a_out,
+    f_acc,
+    *,
+    n: int,
+    tile_i: int,
+    tile_j: int,
+    box_length: float,
+    inv_box_length: float,
+    rc_square: float,
+    dt: float,
+    n_steps: int,
+    approx_reciprocal: bool,
+):
+    for dst, src in ((r_out, r_in), (v_out, v_in), (a_out, a_in)):
+        dst[:, :] = src[:, :]
+
+    L = box_length
+    inv_l = inv_box_length
+    half_dt = 0.5 * dt
+    half_dt_sq = 0.5 * dt * dt
+
+    def step_body(_s, carry):
+        r_out[:, :] = r_out[:, :] + v_out[:, :] * dt + a_out[:, :] * half_dt_sq
+        v_out[:, :] = v_out[:, :] + a_out[:, :] * half_dt
+        f_acc[:, :] = jnp.zeros_like(f_acc)
+
+        def make_body(row, masked):
+            def body(t, c2):
+                i_lo = tiles_ref[row, t] * tile_i
+                j_lo = tiles_ref[row + 1, t] * tile_j
+                isl = pl.ds(i_lo, tile_i)
+                jsl = pl.ds(j_lo, tile_j)
+                xi = r_out[0, isl].reshape(tile_i, 1)
+                yi = r_out[1, isl].reshape(tile_i, 1)
+                zi = r_out[2, isl].reshape(tile_i, 1)
+                xj = r_out[0, jsl].reshape(1, tile_j)
+                yj = r_out[1, jsl].reshape(1, tile_j)
+                zj = r_out[2, jsl].reshape(1, tile_j)
+                dx = xi - xj
+                dy = yi - yj
+                dz = zi - zj
+                dx = dx - L * jnp.round(dx * inv_l)
+                dy = dy - L * jnp.round(dy * inv_l)
+                dz = dz - L * jnp.round(dz * inv_l)
+                r2 = dx * dx + dy * dy + dz * dz
+                mask = r2 < rc_square
+                if masked:
+                    # Rank + padding masks; both are no-ops on tiles that
+                    # don't need them, so one body covers all cases.
+                    gi = i_lo + jax.lax.broadcasted_iota(
+                        jnp.int32, (tile_i, tile_j), 0
+                    )
+                    gj = j_lo + jax.lax.broadcasted_iota(
+                        jnp.int32, (tile_i, tile_j), 1
+                    )
+                    mask = mask & (gj > gi) & (gj < n) & (gi < n)
+                coef, _du, _e, _ddu = lj_pair_terms(
+                    r2, mask, approx_reciprocal, want_observables=False
+                )
+                fx = coef * dx
+                fy = coef * dy
+                fz = coef * dz
+                f_acc[0, isl] += jnp.sum(fx, axis=1)
+                f_acc[1, isl] += jnp.sum(fy, axis=1)
+                f_acc[2, isl] += jnp.sum(fz, axis=1)
+                f_acc[0, jsl] -= jnp.sum(fx, axis=0)
+                f_acc[1, jsl] -= jnp.sum(fy, axis=0)
+                f_acc[2, jsl] -= jnp.sum(fz, axis=0)
+                return c2
+
+            return body
+
+        jax.lax.fori_loop(0, tcounts_ref[0], make_body(0, False), 0)
+        jax.lax.fori_loop(0, tcounts_ref[1], make_body(2, True), 0)
+
+        a_out[:, :] = 24.0 * f_acc[:, :]
+        v_out[:, :] = v_out[:, :] + a_out[:, :] * half_dt
+        return carry
+
+    jax.lax.fori_loop(0, n_steps, step_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n",
+        "box_length",
+        "rc_square",
+        "dt",
+        "n_steps",
+        "tile_i",
+        "tile_j",
+        "interpret",
+        "approx_reciprocal",
+    ),
+)
+def fused_dense_chunk_list(
+    r: jax.Array,
+    v: jax.Array,
+    a: jax.Array,
+    tiles: jax.Array,
+    tcounts: jax.Array,
+    n: int,
+    box_length: float,
+    rc_square: float,
+    dt: float,
+    n_steps: int,
+    tile_i: int = 128,
+    tile_j: int = 512,
+    interpret: bool = False,
+    approx_reciprocal: bool = True,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """``fused_dense_chunk_flags`` with the active tiles given as a compact
+    LIST (from ``build_tile_lists``) instead of a per-tile flag sweep —
+    removes the unrolled-region code-footprint floor (see module comment).
+    Same contracts as ``fused_dense_chunk``: no wrap inside the chunk,
+    outputs (r, v, a), ``a`` 24-prefactored."""
+    if n_steps > MAX_CHUNK_STEPS:
+        raise ValueError(f"n_steps={n_steps} exceeds MAX_CHUNK_STEPS={MAX_CHUNK_STEPS}")
+    n_pad = r.shape[1]
+    kernel = functools.partial(
+        _fused_dense_list_kernel,
+        n=n,
+        tile_i=tile_i,
+        tile_j=tile_j,
+        box_length=float(box_length),
+        inv_box_length=1.0 / float(box_length),
+        rc_square=float(rc_square),
+        dt=float(dt),
+        n_steps=n_steps,
+        approx_reciprocal=approx_reciprocal and not interpret,
+    )
+    out_shape = [jax.ShapeDtypeStruct((8, n_pad), r.dtype)] * 3
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    pairs_per_step = n_pad * n_pad // 2
+    return tuple(
+        pl.pallas_call(
+            kernel,
+            in_specs=[smem, smem] + [vmem] * 3,
+            out_specs=[vmem] * 3,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((8, n_pad), r.dtype)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=int(20 * pairs_per_step) * n_steps,
+                bytes_accessed=int(4 * 8 * n_pad * 7),
+                transcendentals=0,
+            ),
+        )(tcounts, tiles, r, v, a)
     )
