@@ -99,7 +99,7 @@ def main() -> None:
     carry = run_long(carry)
     _ = sync_scalar(carry)
 
-    best = 0.0
+    slopes = []
     for _ in range(3):
         t0 = time.perf_counter()
         carry = run_short(carry)
@@ -108,9 +108,11 @@ def main() -> None:
         carry = run_long(carry)
         _ = sync_scalar(carry)
         t2 = time.perf_counter()
-        slope = ((t2 - t1) - (t1 - t0)) / (n_long - n_steps)
-        if slope > 0:
-            best = max(best, cfg.n / slope)
+        slopes.append(((t2 - t1) - (t1 - t0)) / (n_long - n_steps))
+    # median: a single timer hiccup in either segment poisons min/max
+    slopes.sort()
+    slope = slopes[len(slopes) // 2]
+    best = cfg.n / slope if slope > 0 else 0.0
 
     # quick energy sanity on the final state
     _, obs = engine.step(carry)
