@@ -472,10 +472,15 @@ def _zsort_engine(
         )
 
     # The list kernel's SMEM tile arrays scale as O(n_i * n_j); past a few
-    # thousand entries they crowd SMEM, and at large N the unrolled flags
-    # kernel's tile grid is huge anyway — the list path targets the small/
-    # mid-N regime where zsort is the engine of choice.
-    use_list = (n_pad // tile_i) * (n_pad // tile_j) <= 8192
+    # thousand entries they crowd SMEM — and the alternative (the flags
+    # kernel, with one statically-unrolled region per tile pair) is a
+    # COMPILE bomb at that scale. Past the threshold the fused path is
+    # disabled entirely (run_fast=None): drivers fall back to the per-step
+    # grid sweep, which is slow but compiles. The pencil engine is the
+    # right choice there anyway (auto picks it at n >= 8192).
+    n_tile_pairs = (n_pad // tile_i) * (n_pad // tile_j)
+    use_list = n_tile_pairs <= 8192
+    fused_viable = n_tile_pairs <= 8192
 
     def _flags(r8):
         flags = compute_tile_flags(r8, n, tile_i, tile_j, L, window)
@@ -613,7 +618,7 @@ def _zsort_engine(
         get_state=get_state,
         diagnostics=lambda c: {"zsort_invalid": c.invalid},
         step_fast=lambda c: _step(c, False),
-        run_fast=run_fast,
+        run_fast=run_fast if fused_viable else None,
     )
 
 
@@ -847,7 +852,8 @@ def _cellpair_engine(
             # stale (velocity compensation is the one that matters and it
             # permutes with the slots).
             r8 = r8.at[0:3].set(wrap_positions(r8[0:3], L))
-            new_slot, overflow = rebin_slots(r8, r8[3, :], grid)
+            new_slot, overflow = rebin_slots(r8, r8[3, :], grid,
+                                              z_order=z_band)
             # One stacked scatter instead of one per array: the lane-dim
             # scatter's cost is index-bound (~1 ms each at ns=75k on v5e).
             to_permute = [r8, ru8, v8] + ([vc8] if compensated else [])
@@ -910,7 +916,7 @@ def _cellpair_engine(
 
     def _rebin_carry(c: PencilCarry) -> PencilCarry:
         r8 = c.r.at[0:3].set(wrap_positions(c.r[0:3], L))
-        new_slot, b_ovf = rebin_slots(r8, r8[3, :], grid)
+        new_slot, b_ovf = rebin_slots(r8, r8[3, :], grid, z_order=z_band)
         # a rides along (the next chunk's first half-kick uses it); position
         # compensation resets at the wrap like the per-step path.
         to_permute = [r8, c.ru, c.v, c.a] + ([c.vc] if compensated else [])

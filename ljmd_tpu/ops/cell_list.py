@@ -186,8 +186,9 @@ def bin_to_slots(r: jax.Array, grid: PencilGrid):
     return slot, overflow
 
 
-@partial(jax.jit, static_argnames=("grid",))
-def rebin_slots(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid):
+@partial(jax.jit, static_argnames=("grid", "z_order"))
+def rebin_slots(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid,
+                z_order: bool = True):
     """Recompute the slot assignment FROM slot-layout data (used by the
     engine at rebuild time).
 
@@ -195,16 +196,25 @@ def rebin_slots(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid):
     valid: (n_slots,) 1.0/0.0 slot validity.
     Returns (new_slot_for_old_slot (n_slots,), overflow): invalid old slots
     map to the sentinel n_slots (dropped by the scatter).
+
+    ``z_order=False`` sorts by pencil id only (stable int32 sort) — the
+    half-shell and fused pencil sweeps accept ANY within-pencil rank order,
+    and the composite (pencil, z) float key costs more and truncates to f32
+    on TPU anyway. Keep z_order=True for the z-band windows, which require
+    z-sorted rank prefixes.
     """
     ns = grid.n_slots
     x, y, z = rows_r[0], rows_r[1], rows_r[2]
     pid = _pencil_ids(x, y, grid)
     is_valid = valid > 0.5
-    # Sort key: (pencil, z) for valid slots; invalid slots pushed to the end.
+    # Invalid slots pushed to the end.
     pid_key = jnp.where(is_valid, pid, grid.n_pencils)
-    key = pid_key.astype(jnp.float64) * (grid.box_length + 1.0) + jnp.where(
-        is_valid, z.astype(jnp.float64), 0.0
-    )
+    if z_order:
+        key = pid_key.astype(jnp.float64) * (grid.box_length + 1.0) + jnp.where(
+            is_valid, z.astype(jnp.float64), 0.0
+        )
+    else:
+        key = pid_key
     order = jnp.argsort(key, stable=True)
     sorted_pid = pid_key[order]
     ranks_sorted = (jnp.arange(ns) - _run_starts(sorted_pid)).astype(jnp.int32)
