@@ -53,6 +53,19 @@ class Engine(NamedTuple):
     run_fast: Callable[[Any, int], Any] = None
 
 
+def _effective_dtype(cfg: SimConfig) -> jnp.dtype:
+    """The dtype arrays ACTUALLY get. A float64 config silently truncates to
+    float32 when x64 is disabled (the TPU path) — the precision policy
+    (compensated summation, extended two-float mode) must follow the real
+    dtype, not the requested one, or a dt=1e-4 "f64" run on TPU integrates
+    in plain f32 and drifts ~12% per 100k steps (measured; the compensated
+    path holds ~5e-4)."""
+    dt = jnp.dtype(cfg.dtype)
+    if dt == jnp.float64 and not jax.config.jax_enable_x64:
+        return jnp.dtype(jnp.float32)
+    return dt
+
+
 def _force_engine(cfg: SimConfig, backend: str) -> Engine:
     force_fn = make_force_fn(cfg, backend)
 
@@ -201,7 +214,7 @@ def _pallas_rows_engine(
     tile_j = 1024 if n >= 1024 else 128
     n_pad = _round_up(n, max(tile_i, tile_j))
     L = cfg.box_length
-    dtype = jnp.dtype(cfg.dtype)
+    dtype = _effective_dtype(cfg)
 
     e_t, d_t, dd_t = (
         tail_corrections(n, cfg.volume, cfg.rc)
@@ -423,7 +436,7 @@ def _zsort_engine(
     if extended is None:
         # auto: only f32 needs it (f64 has headroom at these dts)
         extended = (cfg.compensated_sum or cfg.dt <= 1.0e-3) and (
-            jnp.dtype(cfg.dtype) == jnp.float32
+            _effective_dtype(cfg) == jnp.float32
         )
     if interpret is None:
         try:
@@ -434,7 +447,7 @@ def _zsort_engine(
     n = cfg.n
     n_pad = _round_up(n, max(tile_i, tile_j, 128))
     L = cfg.box_length
-    dtype = jnp.dtype(cfg.dtype)
+    dtype = _effective_dtype(cfg)
     # Clamp the sort skin so the flag window respects MIC (window < L/2);
     # tiny boxes leave no room for z discrimination -> use the rows engine.
     sort_skin = min(sort_skin, 0.49 * L - cfg.rc)
@@ -710,7 +723,7 @@ def _cellpair_engine(
     tile_table = jnp.asarray(build_tile_table(grid))
     n = cfg.n
     ns = grid.n_slots
-    dtype = jnp.dtype(cfg.dtype)
+    dtype = _effective_dtype(cfg)
     window = default_z_window(grid, n, r_list, TILE_I)
     if window >= grid.capacity:
         z_band = False  # banding degenerates to the full sweep

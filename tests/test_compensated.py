@@ -95,3 +95,27 @@ def test_compensated_config_flag_roundtrip():
     cfg = config_from_density(num_cells=2, density=0.7, compensated_sum=True)
     assert cfg.compensated_sum
     assert cfg.replace(dt=0.001).compensated_sum
+
+
+def test_effective_dtype_follows_x64():
+    """A float64 config must be treated as float32 by the precision policy
+    when x64 is disabled (the TPU path): arrays silently truncate there, and
+    compensation gated on the REQUESTED dtype left the reference-default
+    dt=1e-4 config integrating in plain f32 (~12%/100k drift, measured)."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from ljmd_tpu.config import config_from_density
+    from ljmd_tpu.models.engine import _effective_dtype
+
+    cfg = config_from_density(num_cells=2, density=0.5, dt=1e-4,
+                              dtype="float64")
+    assert _effective_dtype(cfg) == _jnp.float64  # x64 on (tests force it)
+    try:
+        _jax.config.update("jax_enable_x64", False)
+        assert _effective_dtype(cfg) == _jnp.float32
+    finally:
+        _jax.config.update("jax_enable_x64", True)
+    cfg32 = config_from_density(num_cells=2, density=0.5, dt=1e-4,
+                                dtype="float32")
+    assert _effective_dtype(cfg32) == _jnp.float32
