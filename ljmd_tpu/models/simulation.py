@@ -35,7 +35,7 @@ import numpy as np
 from jax import lax
 
 from ljmd_tpu.config import SimConfig
-from ljmd_tpu.models.engine import make_engine
+from ljmd_tpu.models.engine import _effective_dtype, make_engine
 from ljmd_tpu.models.lattice import (
     fcc_lattice,
     random_velocities,
@@ -176,7 +176,7 @@ def initialize(
     perturbed-equilibrated fluid, velocities rescaled so E_tot == target at
     the rescale point, accelerations consistent with positions.
     """
-    dtype = jnp.dtype(cfg.dtype)
+    dtype = _effective_dtype(cfg)
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
 
@@ -224,7 +224,7 @@ def run_production(
             "no samples would be taken (check warmup_steps/output_interval/"
             "total_steps) — the reference aborts too (md_simulation_program.f90:399)"
         )
-    dtype = jnp.dtype(cfg.dtype)
+    dtype = _effective_dtype(cfg)
 
     # t=0 forces (md_simulation_program.f90:236)
     ecarry, _ = engine.init(state)

@@ -27,7 +27,7 @@ from jax import lax
 
 from ljmd_tpu.config import SimConfig
 from ljmd_tpu.io.trajectory import AsyncTrajectoryWriter
-from ljmd_tpu.models.engine import make_engine
+from ljmd_tpu.models.engine import _effective_dtype, make_engine
 from ljmd_tpu.models.simulation import SimResult, _advance, _cadence, sample_steps
 from ljmd_tpu.state import MDState
 from ljmd_tpu.stats.correlations import autocorr_all, block_corr_means
@@ -95,7 +95,7 @@ def run_production_streaming(
     prologue, n_samples, epilogue = _cadence(cfg)
     if n_samples == 0:
         raise ValueError("no samples would be taken")
-    dtype = jnp.dtype(cfg.dtype)
+    dtype = _effective_dtype(cfg)
 
     resumed = _load(out_dir, dtype) if resume else None
     if resumed is not None:

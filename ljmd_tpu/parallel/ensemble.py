@@ -174,7 +174,7 @@ def ensemble_simulate_streaming(
 
     from jax import lax
 
-    from ljmd_tpu.models.engine import make_engine
+    from ljmd_tpu.models.engine import _effective_dtype, make_engine
     from ljmd_tpu.models.simulation import _advance, _cadence
     from ljmd_tpu.stats.correlations import autocorr_all
     from ljmd_tpu.stats.moments import (
@@ -194,7 +194,7 @@ def ensemble_simulate_streaming(
     prologue, n_samples, epilogue = _cadence(cfg)
     if n_samples == 0:
         raise ValueError("no samples would be taken")
-    dtype = jnp.dtype(cfg.dtype)
+    dtype = _effective_dtype(cfg)
 
     @jax.jit
     def init_all(ks):
