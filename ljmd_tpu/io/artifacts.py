@@ -12,8 +12,8 @@ or ours — can read either implementation's output):
   blocks; parsers take the last block — md_simulation_program.f90:531-560,
   md_one_run_analysis.py:117-121)
 - ``means.dat`` per run (machine-friendly, from the WIP ensemble path,
-  run_many_md_simuations/md_simulation.f90:736-817) — here superseded by
-  ``summary.json`` but kept for parity
+  run_many_md_simuations/md_simulation.f90:736-817) — written by
+  ``write_run_artifacts`` alongside the richer ``summary.json``
 - ``summary.json``: full machine-readable results (the analysis layer's
   summary.json analogue, md_one_run_analysis.py:958-1012)
 """
@@ -36,6 +36,7 @@ __all__ = [
     "write_corr_file",
     "append_final_results",
     "parse_final_results",
+    "write_means_dat",
     "write_summary_json",
     "write_run_artifacts",
 ]
@@ -156,6 +157,69 @@ def parse_final_results(path: str) -> Optional[dict]:
     return out or None
 
 
+def write_means_dat(
+    path: str,
+    cfg: SimConfig,
+    means_named: dict,
+    thermo: dict,
+    num_samples: int,
+) -> None:
+    """Per-run machine-friendly means file in the WIP ensemble path's layout
+    (``run_many_md_simuations/md_simulation.f90:736-817``): run parameters,
+    the 5 headline means ± std, the 5 diagnostic means ± std, and the
+    coefficient subset that writer emits (status='replace' semantics — the
+    file is overwritten, unlike the appending md_final_results.txt)."""
+
+    def e(x):
+        return f"{float(x): .12e}"
+
+    def ms(label, key):
+        m, s = means_named[key]
+        return f"{label} {e(m)}  std: {e(s)}"
+
+    lines = [
+        "# -------------------- Run parameters --------------------",
+        f"num_particles: {cfg.n}",
+        f"num_cells: {cfg.num_cells}",
+        f"box_length: {e(cfg.box_length)}",
+        f"volume: {e(cfg.volume)}",
+        f"density: {e(cfg.density)}",
+        f"time_step: {e(cfg.dt)}",
+        f"rc_over_L: {e(cfg.rc / cfg.box_length)}",
+        f"target_total_energy: {e(cfg.target_total_energy)}",
+        f"output_interval: {cfg.output_interval}",
+        f"total_steps: {cfg.total_steps}",
+        f"warmup_steps: {cfg.warmup_steps}",
+        f"n_samples_md_expected: {cfg.n_samples}",
+        f"num_samples_taken: {num_samples}",
+        f"corr_max_lag: {cfg.corr_max_lag}",
+        "# -------------------- Means and std --------------------",
+        ms("<Epot>:", "epot"),
+        ms("<Ekin>:", "ekin"),
+        ms("<Etot>:", "etot"),
+        ms("<T>  :", "temp"),
+        ms("<P>  :", "press"),
+        "# -------------------- Extra means and std (diagnostics) --------------------",
+        ms("<1/Ekin>:", "ekin_inv"),
+        ms("<d_epot>:", "d_epot"),
+        ms("<dd_epot>:", "dd_epot"),
+        ms("<d_epot*(1/Ekin)>:", "d_epot_ekin_inv"),
+        ms("<dd_epot*(1/Ekin)>:", "dd_epot_ekin_inv"),
+        "# -------------------- Thermodynamic coefficients --------------------",
+        f"Temperature: {e(thermo['temperature'])}",
+        f"Pressure: {e(thermo['pressure'])}",
+        f"Ca_v: {e(thermo['Ca_v'])}",
+        f"Ce_v: {e(thermo['Ce_v'])}",
+        f"Gamma: {e(thermo['gamma'])}",
+        f"K_s: {e(thermo['K_S'])}",
+        f"Alpha_E1: {e(thermo['alpha_E1'])}",
+        f"Alpha_E2: {e(thermo['alpha_E2'])}",
+        "",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
 def write_summary_json(path: str, cfg: SimConfig, means_named: dict, thermo: dict, extra: dict | None = None) -> None:
     payload = {
         "config": cfg.summary(),
@@ -201,6 +265,10 @@ def write_run_artifacts(out_dir: str, cfg: SimConfig, result, write_frames: bool
     p = os.path.join(out_dir, "md_final_results.txt")
     append_final_results(p, cfg, means_named, thermo)
     paths["final_results"] = p
+
+    p = os.path.join(out_dir, "means.dat")
+    write_means_dat(p, cfg, means_named, thermo, num_samples=series.shape[1])
+    paths["means_dat"] = p
 
     p = os.path.join(out_dir, "summary.json")
     write_summary_json(p, cfg, means_named, thermo)

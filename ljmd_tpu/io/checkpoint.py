@@ -41,6 +41,10 @@ class Checkpoint:
     key: Optional[jax.Array]
     means: Optional[MeansAccum]
     sample_count: int
+    # Streaming-driver extras (models/streaming.py): the sampled series
+    # fetched so far (host float64, shape (5, n_done)) and the resume point.
+    series: Optional[np.ndarray] = None
+    sample_idx: int = 0
 
 
 def save_checkpoint(
@@ -49,7 +53,13 @@ def save_checkpoint(
     step: int,
     key: Optional[jax.Array] = None,
     means: Optional[MeansAccum] = None,
+    series: Optional[np.ndarray] = None,
+    sample_idx: Optional[int] = None,
 ) -> None:
+    """Single checkpoint codec for every driver (mid-production resume —
+    absent in the reference, SURVEY §5.4). ``series``/``sample_idx`` are the
+    streaming driver's chunk-resume extras; ``key`` the RNG state when the
+    caller owns one."""
     arrays = {
         "r": np.asarray(state.r),
         "ru": np.asarray(state.ru),
@@ -62,16 +72,23 @@ def save_checkpoint(
     if means is not None:
         arrays["means_count"] = np.asarray(means.count)
         arrays["means_moments"] = np.asarray(means.moments)
+    if series is not None:
+        arrays["series"] = np.asarray(series, dtype=np.float64)
+    if sample_idx is not None:
+        arrays["sample_idx"] = np.asarray(sample_idx, dtype=np.int64)
     np.savez(path, **arrays)
 
 
-def load_checkpoint(path: str) -> Checkpoint:
+def load_checkpoint(path: str, dtype=None) -> Checkpoint:
+    """Load a checkpoint; with ``dtype`` the state arrays are cast (the
+    streaming driver resumes under the effective dtype policy)."""
     with np.load(path) as z:
+        cast = (lambda a: jnp.asarray(a, dtype)) if dtype is not None else jnp.asarray
         state = MDState(
-            r=jnp.asarray(z["r"]),
-            ru=jnp.asarray(z["ru"]),
-            v=jnp.asarray(z["v"]),
-            a=jnp.asarray(z["a"]),
+            r=cast(z["r"]),
+            ru=cast(z["ru"]),
+            v=cast(z["v"]),
+            a=cast(z["a"]),
         )
         step = int(z["step"])
         key = None
@@ -85,7 +102,12 @@ def load_checkpoint(path: str) -> Checkpoint:
                 moments=jnp.asarray(z["means_moments"]),
             )
             count = int(z["means_count"])
-    return Checkpoint(state=state, step=step, key=key, means=means, sample_count=count)
+        series = z["series"].copy() if "series" in z else None
+        sample_idx = int(z["sample_idx"]) if "sample_idx" in z else 0
+    return Checkpoint(
+        state=state, step=step, key=key, means=means, sample_count=count,
+        series=series, sample_idx=sample_idx,
+    )
 
 
 def save_rv_init(path: str, state: MDState) -> None:

@@ -26,6 +26,7 @@ import numpy as np
 from jax import lax
 
 from ljmd_tpu.config import SimConfig
+from ljmd_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 from ljmd_tpu.io.trajectory import AsyncTrajectoryWriter
 from ljmd_tpu.models.engine import _effective_dtype, make_engine
 from ljmd_tpu.models.simulation import SimResult, _advance, _cadence, sample_steps
@@ -47,16 +48,9 @@ def _checkpoint_path(out_dir: str) -> str:
 
 
 def _save(out_dir, state: MDState, acc: MeansAccum, series_done: np.ndarray, sample_idx: int):
-    np.savez(
-        _checkpoint_path(out_dir),
-        r=np.asarray(state.r),
-        ru=np.asarray(state.ru),
-        v=np.asarray(state.v),
-        a=np.asarray(state.a),
-        means_count=np.asarray(acc.count),
-        means_moments=np.asarray(acc.moments),
-        series=series_done,
-        sample_idx=np.asarray(sample_idx, dtype=np.int64),
+    save_checkpoint(
+        _checkpoint_path(out_dir), state, step=0, means=acc,
+        series=series_done, sample_idx=sample_idx,
     )
 
 
@@ -64,17 +58,8 @@ def _load(out_dir, dtype):
     path = _checkpoint_path(out_dir)
     if not os.path.exists(path):
         return None
-    with np.load(path) as z:
-        state = MDState(
-            r=jnp.asarray(z["r"], dtype),
-            ru=jnp.asarray(z["ru"], dtype),
-            v=jnp.asarray(z["v"], dtype),
-            a=jnp.asarray(z["a"], dtype),
-        )
-        acc = MeansAccum(
-            count=jnp.asarray(z["means_count"]), moments=jnp.asarray(z["means_moments"])
-        )
-        return state, acc, z["series"].copy(), int(z["sample_idx"])
+    ck = load_checkpoint(path, dtype=dtype)
+    return ck.state, ck.means, ck.series, ck.sample_idx
 
 
 def run_production_streaming(

@@ -31,7 +31,12 @@ from ljmd_tpu.parallel.mesh import REPLICA_AXIS
 from ljmd_tpu.stats.moments import OBSERVABLES
 from ljmd_tpu.stats.thermo import ThermoCoefs, thermo_coefs_from_report
 
-__all__ = ["EnsembleResult", "ensemble_simulate", "ensemble_aggregate"]
+__all__ = [
+    "EnsembleResult",
+    "ReplicaStats",
+    "ensemble_simulate",
+    "ensemble_aggregate",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -68,6 +73,20 @@ class EnsembleResult:
     @property
     def n_ok(self) -> jax.Array:
         return jnp.sum(self.replica_ok)
+
+
+@dataclasses.dataclass(frozen=True)
+class ReplicaStats:
+    """The minimal batched per-replica statistics ``ensemble_aggregate``
+    needs — what the streaming ensemble produces instead of a full
+    ``SimResult`` (no final states, times, block means, or frames; the
+    series lives on HOST so the (R, 5, n_samples) stack never sits in HBM).
+    """
+
+    means: object        # batched MeansReport, fields shaped (R, 11)
+    corr: jax.Array      # (R, 5, max_lag+1)
+    corr_norm: jax.Array  # (R, 5, max_lag+1)
+    series: object       # (R, 5, n_samples) array-like (host np in streaming)
 
 
 def ensemble_simulate(
@@ -114,9 +133,12 @@ def replica_result(results: SimResult, i: int) -> SimResult:
     return jax.tree.map(lambda x: x[i], results)
 
 
-def ensemble_aggregate(cfg: SimConfig, results: SimResult) -> EnsembleResult:
+def ensemble_aggregate(
+    cfg: SimConfig, results: "SimResult | ReplicaStats"
+) -> EnsembleResult:
     """Cross-run reduction over the leading replica axis of a vmapped
-    SimResult (the simulation_results aggregation as one collective)."""
+    SimResult — or a ReplicaStats from the streaming path — (the
+    simulation_results aggregation as one collective)."""
     means = results.means.means  # (R, 11)
     stds = results.means.stds
     # Per-replica divergence masks (SURVEY §5.3): a replica whose means went
@@ -183,7 +205,6 @@ def ensemble_simulate_streaming(
         means_init,
         means_update,
     )
-    from ljmd_tpu.stats.moments import MeansReport
 
     r = cfg.n_runs if n_replicas is None else n_replicas
     if key is None:
@@ -256,16 +277,8 @@ def ensemble_simulate_streaming(
 
     # series stays a HOST numpy array (the whole point: the (R,5,n) stack
     # never lands in HBM); ensemble_aggregate only reduces means/corr.
-    results = SimResult(
-        final_state=None,
-        times=None,
-        series=series_host,
-        means=report,
-        corr=corr,
-        corr_norm=corr_norm,
-        corr_mean=None,
-        corr_mean_norm=None,
-        frames=None,
-        diagnostics={},
+    return ensemble_aggregate(
+        cfg,
+        ReplicaStats(means=report, corr=corr, corr_norm=corr_norm,
+                     series=series_host),
     )
-    return ensemble_aggregate(cfg, results)
