@@ -424,7 +424,6 @@ def _zsort_engine(
     from ljmd_tpu.ops.pallas_fused import (
         build_tile_lists,
         compute_tile_flags,
-        fused_dense_chunk_flags,
         fused_dense_chunk_list,
         wrap_positions_ext,
     )
@@ -492,7 +491,6 @@ def _zsort_engine(
     # grid sweep, which is slow but compiles. The pencil engine is the
     # right choice there anyway (auto picks it at n >= 8192).
     n_tile_pairs = (n_pad // tile_i) * (n_pad // tile_j)
-    use_list = n_tile_pairs <= 8192
     fused_viable = n_tile_pairs <= 8192
 
     def _flags(r8):
@@ -576,10 +574,13 @@ def _zsort_engine(
         return dataclasses.replace(c, invalid=invalid)
 
     def _chunk(c: ZSortCarry, k: int) -> ZSortCarry:
+        # run_fast exists only when fused_viable, so both modes use the
+        # active-tile LIST kernel (the flags kernel would be a compile bomb
+        # at the same scale the list kernel's SMEM would overflow).
         c = _maybe_resort(c)
         if extended:
-            r_end, rlo_end, v, vcc, a = fused_dense_chunk_flags(
-                c.r, c.v, c.a, c.flags, n, L, cfg.rc_square, dt, k,
+            r_end, rlo_end, v, vcc, a = fused_dense_chunk_list(
+                c.r, c.v, c.a, c.tiles, c.tcounts, n, L, cfg.rc_square, dt, k,
                 tile_i=tile_i, tile_j=tile_j, interpret=interpret,
                 r_lo=c.rlo, vc=c.vc,
             )
@@ -588,16 +589,10 @@ def _zsort_engine(
             return dataclasses.replace(
                 c, r=r_w, ru=ru, v=v, a=a, rlo=rlo_w, vc=vcc
             )
-        if use_list:
-            r_end, v, a = fused_dense_chunk_list(
-                c.r, c.v, c.a, c.tiles, c.tcounts, n, L, cfg.rc_square, dt, k,
-                tile_i=tile_i, tile_j=tile_j, interpret=interpret,
-            )
-        else:
-            r_end, v, a = fused_dense_chunk_flags(
-                c.r, c.v, c.a, c.flags, n, L, cfg.rc_square, dt, k,
-                tile_i=tile_i, tile_j=tile_j, interpret=interpret,
-            )
+        r_end, v, a = fused_dense_chunk_list(
+            c.r, c.v, c.a, c.tiles, c.tcounts, n, L, cfg.rc_square, dt, k,
+            tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+        )
         ru = c.ru + (r_end - c.r)
         return dataclasses.replace(
             c, r=wrap_positions(r_end, L), ru=ru, v=v, a=a
@@ -663,6 +658,7 @@ def _cellpair_engine(
     interpret: bool | None = None,
     z_band: bool = False,
     half_shell: bool = True,
+    compensated: bool | None = None,
 ) -> Engine:
     """Structured pencil-sweep backend for large N (SURVEY §5.7): pair work
     O(N * 9 * capacity) with purely block-structured memory access; rebinning
@@ -742,8 +738,10 @@ def _cellpair_engine(
     row_mask = jnp.zeros((8, 1), dtype).at[0:3].set(1.0)   # keep only forces
     xyz_mask = row_mask                                    # zero deltas on aux rows
     # Same compensation policy as the rows engine: f32 at small dt loses the
-    # velocity-increment bits without it.
-    compensated = (cfg.compensated_sum or cfg.dt <= 1.0e-3) and dtype == jnp.float32
+    # velocity-increment bits without it. (Override param exists for parity
+    # tests that force the compensated code path in f64 interpret mode.)
+    if compensated is None:
+        compensated = (cfg.compensated_sum or cfg.dt <= 1.0e-3) and dtype == jnp.float32
 
     def sweep(pos, counts, wins, want_obs=True):
         if z_band:
@@ -963,6 +961,20 @@ def _cellpair_engine(
 
     def _chunk(c: PencilCarry, k: int) -> PencilCarry:
         c = _maybe_rebin(c, k)
+        if compensated:
+            # Extended two-float fused kernel: the compensated policy keeps
+            # the fast path (VERDICT round-2 item 2) instead of dropping to
+            # the per-step sweep.
+            r_end, rc_end, v_new, vc_new, a_new = fused_pencil_chunk(
+                c.r, c.v, c.a, hs_tbl, hs_shf,
+                grid.n_pencils, grid.capacity, L, cfg.rc_square, dt, k,
+                interpret=interpret, approx_reciprocal=not interpret,
+                r_lo=c.rc, vc=c.vc,
+            )
+            ru_new = c.ru + ((r_end - c.r) + (rc_end - c.rc)) * xyz_mask
+            return dataclasses.replace(
+                c, r=r_end, ru=ru_new, v=v_new, a=a_new, rc=rc_end, vc=vc_new
+            )
         r_end, v_new, a_new = fused_pencil_chunk(
             c.r, c.v, c.a, hs_tbl, hs_shf,
             grid.n_pencils, grid.capacity, L, cfg.rc_square, dt, k,
@@ -988,8 +1000,8 @@ def _cellpair_engine(
     use_fused = (
         half_shell
         and not z_band
-        and not compensated
-        and pencil_fused_viable(ns, jnp.dtype(dtype).itemsize)
+        and pencil_fused_viable(ns, jnp.dtype(dtype).itemsize,
+                                extended=compensated)
     )
 
     def get_state(c: PencilCarry) -> MDState:

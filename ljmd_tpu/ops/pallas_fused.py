@@ -617,10 +617,7 @@ def build_tile_lists(
 def _fused_dense_list_kernel(
     tcounts_ref,  # SMEM (2,) int32: [n_pure, n_masked]
     tiles_ref,    # SMEM (4, max_t) int32: i/j offsets per category
-    r_in, v_in, a_in,
-    r_out, v_out, a_out,
-    f_acc,
-    *,
+    *args,        # ins (3 or 5), outs (3 or 5), f_acc scratch
     n: int,
     tile_i: int,
     tile_j: int,
@@ -630,8 +627,19 @@ def _fused_dense_list_kernel(
     dt: float,
     n_steps: int,
     approx_reciprocal: bool,
+    extended: bool = False,
+    dual_acc: bool = True,
 ):
-    for dst, src in ((r_out, r_in), (v_out, v_in), (a_out, a_in)):
+    n_state = 5 if extended else 3
+    ins = args[:n_state]
+    outs = args[n_state:2 * n_state]
+    f_acc = args[2 * n_state]
+    f_acc2 = args[2 * n_state + 1]
+    if extended:
+        (r_out, rlo_out, v_out, vc_out, a_out) = outs
+    else:
+        (r_out, v_out, a_out) = outs
+    for dst, src in zip(outs, ins):
         dst[:, :] = src[:, :]
 
     L = box_length
@@ -639,62 +647,116 @@ def _fused_dense_list_kernel(
     half_dt = 0.5 * dt
     half_dt_sq = 0.5 * dt * dt
 
+    def _comp_add(x_ref, c_ref, delta):
+        """Neumaier-compensated x_ref += delta (see _fused_dense_kernel)."""
+        x = x_ref[:, :]
+        y = delta + c_ref[:, :]
+        t = x + y
+        big_x = jnp.abs(x) >= jnp.abs(y)
+        c_ref[:, :] = jnp.where(big_x, (x - t) + y, (y - t) + x)
+        x_ref[:, :] = t
+
     def step_body(_s, carry):
-        r_out[:, :] = r_out[:, :] + v_out[:, :] * dt + a_out[:, :] * half_dt_sq
-        v_out[:, :] = v_out[:, :] + a_out[:, :] * half_dt
+        if extended:
+            delta = (v_out[:, :] + vc_out[:, :]) * dt + a_out[:, :] * half_dt_sq
+            _comp_add(r_out, rlo_out, delta)
+            _comp_add(v_out, vc_out, a_out[:, :] * half_dt)
+        else:
+            r_out[:, :] = r_out[:, :] + v_out[:, :] * dt + a_out[:, :] * half_dt_sq
+            v_out[:, :] = v_out[:, :] + a_out[:, :] * half_dt
         f_acc[:, :] = jnp.zeros_like(f_acc)
+        f_acc2[:, :] = jnp.zeros_like(f_acc2)
 
-        def make_body(row, masked):
-            def body(t, c2):
-                i_lo = tiles_ref[row, t] * tile_i
-                j_lo = tiles_ref[row + 1, t] * tile_j
-                isl = pl.ds(i_lo, tile_i)
-                jsl = pl.ds(j_lo, tile_j)
-                xi = r_out[0, isl].reshape(tile_i, 1)
-                yi = r_out[1, isl].reshape(tile_i, 1)
-                zi = r_out[2, isl].reshape(tile_i, 1)
-                xj = r_out[0, jsl].reshape(1, tile_j)
-                yj = r_out[1, jsl].reshape(1, tile_j)
-                zj = r_out[2, jsl].reshape(1, tile_j)
-                dx = xi - xj
-                dy = yi - yj
-                dz = zi - zj
-                dx = dx - L * jnp.round(dx * inv_l)
-                dy = dy - L * jnp.round(dy * inv_l)
-                dz = dz - L * jnp.round(dz * inv_l)
-                r2 = dx * dx + dy * dy + dz * dz
-                mask = r2 < rc_square
-                if masked:
-                    # Rank + padding masks; both are no-ops on tiles that
-                    # don't need them, so one body covers all cases.
-                    gi = i_lo + jax.lax.broadcasted_iota(
-                        jnp.int32, (tile_i, tile_j), 0
-                    )
-                    gj = j_lo + jax.lax.broadcasted_iota(
-                        jnp.int32, (tile_i, tile_j), 1
-                    )
-                    mask = mask & (gj > gi) & (gj < n) & (gi < n)
-                coef, _du, _e, _ddu = lj_pair_terms(
-                    r2, mask, approx_reciprocal, want_observables=False
+        def visit(row, t, masked, fa):
+            """One (i,j) tile visit accumulating into ``fa``."""
+            i_lo = tiles_ref[row, t] * tile_i
+            j_lo = tiles_ref[row + 1, t] * tile_j
+            isl = pl.ds(i_lo, tile_i)
+            jsl = pl.ds(j_lo, tile_j)
+            xi = r_out[0, isl].reshape(tile_i, 1)
+            yi = r_out[1, isl].reshape(tile_i, 1)
+            zi = r_out[2, isl].reshape(tile_i, 1)
+            xj = r_out[0, jsl].reshape(1, tile_j)
+            yj = r_out[1, jsl].reshape(1, tile_j)
+            zj = r_out[2, jsl].reshape(1, tile_j)
+            dx = xi - xj
+            dy = yi - yj
+            dz = zi - zj
+            if extended:
+                # Two-float pair-displacement correction (restores the
+                # sub-ulp position bits, see _fused_dense_kernel doc).
+                dx = dx + (rlo_out[0, isl].reshape(tile_i, 1)
+                           - rlo_out[0, jsl].reshape(1, tile_j))
+                dy = dy + (rlo_out[1, isl].reshape(tile_i, 1)
+                           - rlo_out[1, jsl].reshape(1, tile_j))
+                dz = dz + (rlo_out[2, isl].reshape(tile_i, 1)
+                           - rlo_out[2, jsl].reshape(1, tile_j))
+            dx = dx - L * jnp.round(dx * inv_l)
+            dy = dy - L * jnp.round(dy * inv_l)
+            dz = dz - L * jnp.round(dz * inv_l)
+            r2 = dx * dx + dy * dy + dz * dz
+            mask = r2 < rc_square
+            if masked:
+                # Rank + padding masks; both are no-ops on tiles that
+                # don't need them, so one body covers all cases.
+                gi = i_lo + jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_i, tile_j), 0
                 )
-                fx = coef * dx
-                fy = coef * dy
-                fz = coef * dz
-                f_acc[0, isl] += jnp.sum(fx, axis=1)
-                f_acc[1, isl] += jnp.sum(fy, axis=1)
-                f_acc[2, isl] += jnp.sum(fz, axis=1)
-                f_acc[0, jsl] -= jnp.sum(fx, axis=0)
-                f_acc[1, jsl] -= jnp.sum(fy, axis=0)
-                f_acc[2, jsl] -= jnp.sum(fz, axis=0)
-                return c2
+                gj = j_lo + jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_i, tile_j), 1
+                )
+                mask = mask & (gj > gi) & (gj < n) & (gi < n)
+            coef, _du, _e, _ddu = lj_pair_terms(
+                r2, mask, approx_reciprocal, want_observables=False
+            )
+            fx = coef * dx
+            fy = coef * dy
+            fz = coef * dz
+            fa[0, isl] += jnp.sum(fx, axis=1)
+            fa[1, isl] += jnp.sum(fy, axis=1)
+            fa[2, isl] += jnp.sum(fz, axis=1)
+            fa[0, jsl] -= jnp.sum(fx, axis=0)
+            fa[1, jsl] -= jnp.sum(fy, axis=0)
+            fa[2, jsl] -= jnp.sum(fz, axis=0)
 
-            return body
+        # 2-way unrolled visit loops with INDEPENDENT accumulators: the
+        # f_acc read-modify-write is the per-visit serial dependency, and
+        # alternating two scratch buffers lets Mosaic overlap visit t+1's
+        # pair math with visit t's accumulation (measured on v5e,
+        # scripts/exp_layout.py K4: 951 -> 439 ns/visit at (128,512)).
+        if dual_acc:
+            def make_pair_body(row, masked):
+                def body(t, c2):
+                    visit(row, 2 * t, masked, f_acc)
+                    visit(row, 2 * t + 1, masked, f_acc2)
+                    return c2
 
-        jax.lax.fori_loop(0, tcounts_ref[0], make_body(0, False), 0)
-        jax.lax.fori_loop(0, tcounts_ref[1], make_body(2, True), 0)
+                return body
 
-        a_out[:, :] = 24.0 * f_acc[:, :]
-        v_out[:, :] = v_out[:, :] + a_out[:, :] * half_dt
+            for row, masked in ((0, False), (2, True)):
+                cnt = tcounts_ref[row // 2]
+                jax.lax.fori_loop(0, cnt // 2, make_pair_body(row, masked), 0)
+
+                @pl.when(cnt % 2 == 1)
+                def _odd_tail(row=row, masked=masked, cnt=cnt):
+                    visit(row, cnt - 1, masked, f_acc)
+
+            a_out[:, :] = 24.0 * (f_acc[:, :] + f_acc2[:, :])
+        else:
+            def make_body(row, masked):
+                def body(t, c2):
+                    visit(row, t, masked, f_acc)
+                    return c2
+
+                return body
+
+            jax.lax.fori_loop(0, tcounts_ref[0], make_body(0, False), 0)
+            jax.lax.fori_loop(0, tcounts_ref[1], make_body(2, True), 0)
+            a_out[:, :] = 24.0 * f_acc[:, :]
+        if extended:
+            _comp_add(v_out, vc_out, a_out[:, :] * half_dt)
+        else:
+            v_out[:, :] = v_out[:, :] + a_out[:, :] * half_dt
         return carry
 
     jax.lax.fori_loop(0, n_steps, step_body, 0)
@@ -712,6 +774,7 @@ def _fused_dense_list_kernel(
         "tile_j",
         "interpret",
         "approx_reciprocal",
+        "dual_acc",
     ),
 )
 def fused_dense_chunk_list(
@@ -729,14 +792,20 @@ def fused_dense_chunk_list(
     tile_j: int = 512,
     interpret: bool = False,
     approx_reciprocal: bool = True,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    r_lo: jax.Array | None = None,
+    vc: jax.Array | None = None,
+    dual_acc: bool = True,
+) -> tuple[jax.Array, ...]:
     """``fused_dense_chunk_flags`` with the active tiles given as a compact
     LIST (from ``build_tile_lists``) instead of a per-tile flag sweep —
     removes the unrolled-region code-footprint floor (see module comment).
     Same contracts as ``fused_dense_chunk``: no wrap inside the chunk,
-    outputs (r, v, a), ``a`` 24-prefactored."""
+    outputs (r, v, a), ``a`` 24-prefactored. Passing ``r_lo``/``vc`` enables
+    the extended two-float-precision mode (fused_dense_chunk_ext semantics);
+    the return is then (r, r_lo, v, vc, a)."""
     if n_steps > MAX_CHUNK_STEPS:
         raise ValueError(f"n_steps={n_steps} exceeds MAX_CHUNK_STEPS={MAX_CHUNK_STEPS}")
+    extended = r_lo is not None
     n_pad = r.shape[1]
     kernel = functools.partial(
         _fused_dense_list_kernel,
@@ -749,23 +818,27 @@ def fused_dense_chunk_list(
         dt=float(dt),
         n_steps=n_steps,
         approx_reciprocal=approx_reciprocal and not interpret,
+        extended=extended,
+        dual_acc=dual_acc,
     )
-    out_shape = [jax.ShapeDtypeStruct((8, n_pad), r.dtype)] * 3
+    n_state = 5 if extended else 3
+    out_shape = [jax.ShapeDtypeStruct((8, n_pad), r.dtype)] * n_state
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     pairs_per_step = n_pad * n_pad // 2
+    ins = (tcounts, tiles, r, r_lo, v, vc, a) if extended else (tcounts, tiles, r, v, a)
     return tuple(
         pl.pallas_call(
             kernel,
-            in_specs=[smem, smem] + [vmem] * 3,
-            out_specs=[vmem] * 3,
+            in_specs=[smem, smem] + [vmem] * n_state,
+            out_specs=[vmem] * n_state,
             out_shape=out_shape,
-            scratch_shapes=[pltpu.VMEM((8, n_pad), r.dtype)],
+            scratch_shapes=[pltpu.VMEM((8, n_pad), r.dtype)] * 2,
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=int(20 * pairs_per_step) * n_steps,
-                bytes_accessed=int(4 * 8 * n_pad * 7),
+                flops=int((26 if extended else 20) * pairs_per_step) * n_steps,
+                bytes_accessed=int(4 * 8 * n_pad * (2 * n_state + 1)),
                 transcendentals=0,
             ),
-        )(tcounts, tiles, r, v, a)
+        )(*ins)
     )

@@ -34,9 +34,18 @@ Contracts shared with the per-step engine path:
   before a chunk whenever any particle moved more than a skin fraction
   since the last rebin, and flag results invalid past skin/2.
 
-Outputs (r, v, a) alias the inputs (in-place in VMEM); ``a`` includes the
-24 prefactor (real accelerations). VMEM budget: 4 buffers of (8, n_slots)
-f32 -> fits under the ~16 MB/core VMEM to n_slots ~ 10^5.
+EXTENDED two-float mode (``r_lo``/``vc`` passed): positions carry a
+remainder row-matrix and velocities a Neumaier compensation term, with each
+pair displacement corrected by (lo_i - lo_j) inside the sweep — the same
+scheme as ``pallas_fused.fused_dense_chunk_ext``. This keeps the fused fast
+path available for the compensated policy (f32 at dt <= 1e-3, the
+reference's own dt=1e-4 regime) instead of dropping to the per-step sweep.
+Invalid slots have r_lo = vc = 0 and their forces are zeroed, so sentinels
+stay exact.
+
+Outputs (r, v, a) / (r, r_lo, v, vc, a) alias the inputs (in-place in
+VMEM); ``a`` includes the 24 prefactor (real accelerations). VMEM budget:
+4 (plain) or 6 (extended) buffers of (8, n_slots) f32 + 1 scratch.
 """
 
 from __future__ import annotations
@@ -60,18 +69,17 @@ MAX_PENCIL_CHUNK_STEPS = 128
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # leave headroom under ~16 MB/core
 
 
-def pencil_fused_viable(n_slots: int, itemsize: int = 4) -> bool:
-    """True when r/v/a + force scratch fit the VMEM budget."""
-    return 4 * 8 * n_slots * itemsize <= _VMEM_BUDGET_BYTES
+def pencil_fused_viable(n_slots: int, itemsize: int = 4,
+                        extended: bool = False) -> bool:
+    """True when the state buffers + force scratch fit the VMEM budget."""
+    n_buffers = 7 if extended else 4  # r[,rlo],v[,vc],a + f_acc scratch
+    return n_buffers * 8 * n_slots * itemsize <= _VMEM_BUDGET_BYTES
 
 
 def _pencil_fused_kernel(
     tbl_ref,    # SMEM (n_pencils*4,) int32: upper half-shell neighbor ids
     shf_ref,    # SMEM (n_pencils*4*2,) int32: xy image shifts (units of L)
-    r_in, v_in, a_in,
-    r_out, v_out, a_out,
-    f_acc,
-    *,
+    *args,      # ins (3 or 5), outs (3 or 5), f_acc scratch
     n_pencils: int,
     capacity: int,
     box_length: float,
@@ -80,8 +88,17 @@ def _pencil_fused_kernel(
     dt: float,
     n_steps: int,
     approx_reciprocal: bool,
+    extended: bool = False,
 ):
-    for dst, src in ((r_out, r_in), (v_out, v_in), (a_out, a_in)):
+    n_state = 5 if extended else 3
+    ins = args[:n_state]
+    outs = args[n_state:2 * n_state]
+    f_acc = args[2 * n_state]
+    if extended:
+        (r_out, rlo_out, v_out, vc_out, a_out) = outs
+    else:
+        (r_out, v_out, a_out) = outs
+    for dst, src in zip(outs, ins):
         dst[:, :] = src[:, :]
 
     L = box_length
@@ -91,18 +108,35 @@ def _pencil_fused_kernel(
     cap = capacity
     n_sub = cap // TILE_I
 
+    def _comp_add(x_ref, c_ref, delta):
+        """Neumaier-compensated x_ref += delta. Rows with delta = c = 0
+        (validity/id aux rows, invalid slots) are exact fixed points."""
+        x = x_ref[:, :]
+        y = delta + c_ref[:, :]
+        t = x + y
+        big_x = jnp.abs(x) >= jnp.abs(y)
+        c_ref[:, :] = jnp.where(big_x, (x - t) + y, (y - t) + x)
+        x_ref[:, :] = t
+
     def step_body(_s, carry):
         # Position update + first half-kick. v/a rows 3..7 and invalid slots
         # are identically zero, so full-matrix updates leave the validity/id
         # rows and the sentinel coordinates untouched.
-        r_out[:, :] = r_out[:, :] + v_out[:, :] * dt + a_out[:, :] * half_dt_sq
-        v_out[:, :] = v_out[:, :] + a_out[:, :] * half_dt
+        if extended:
+            delta = (v_out[:, :] + vc_out[:, :]) * dt + a_out[:, :] * half_dt_sq
+            _comp_add(r_out, rlo_out, delta)
+            _comp_add(v_out, vc_out, a_out[:, :] * half_dt)
+        else:
+            r_out[:, :] = r_out[:, :] + v_out[:, :] * dt + a_out[:, :] * half_dt_sq
+            v_out[:, :] = v_out[:, :] + a_out[:, :] * half_dt
         f_acc[:, :] = jnp.zeros_like(f_acc)
 
         def pencil_body(p, c2):
             base = p * cap
             # Hoist the xy-preshifted neighbor rows once per pencil (after
             # this, xi - xjs IS the minimum image in x/y; z keeps a round).
+            # The shift applies to the hi part only — it is an exact
+            # multiple of L, and the lo remainders are shift-invariant.
             shifted = []
             for k in range(4):
                 j = tbl_ref[p * 4 + k]
@@ -121,6 +155,10 @@ def _pencil_fused_kernel(
                 xi = r_out[0, pl.ds(ista, TILE_I)].reshape(TILE_I, 1)
                 yi = r_out[1, pl.ds(ista, TILE_I)].reshape(TILE_I, 1)
                 zi = r_out[2, pl.ds(ista, TILE_I)].reshape(TILE_I, 1)
+                if extended:
+                    xi_lo = rlo_out[0, pl.ds(ista, TILE_I)].reshape(TILE_I, 1)
+                    yi_lo = rlo_out[1, pl.ds(ista, TILE_I)].reshape(TILE_I, 1)
+                    zi_lo = rlo_out[2, pl.ds(ista, TILE_I)].reshape(TILE_I, 1)
 
                 def accumulate(dx, dy, dz, r2, mask, jsta, jw, ista=ista):
                     coef, _du, _e, _ddu = lj_pair_terms(
@@ -152,6 +190,10 @@ def _pencil_fused_kernel(
                 dxs = xi - xs
                 dys = yi - ys
                 dzs = zi - zs
+                if extended:
+                    dxs = dxs + (xi_lo - rlo_out[0, pl.ds(base + j_lo, jw)].reshape(1, jw))
+                    dys = dys + (yi_lo - rlo_out[1, pl.ds(base + j_lo, jw)].reshape(1, jw))
+                    dzs = dzs + (zi_lo - rlo_out[2, pl.ds(base + j_lo, jw)].reshape(1, jw))
                 dzs = dzs - L * jnp.round(dzs * inv_l)
                 r2s = dxs * dxs + dys * dys + dzs * dzs
                 accumulate(
@@ -166,6 +208,10 @@ def _pencil_fused_kernel(
                     dx = xi - xjs
                     dy = yi - yjs
                     dz = zi - zjs
+                    if extended:
+                        dx = dx + (xi_lo - rlo_out[0, pl.ds(jb, cap)].reshape(1, cap))
+                        dy = dy + (yi_lo - rlo_out[1, pl.ds(jb, cap)].reshape(1, cap))
+                        dz = dz + (zi_lo - rlo_out[2, pl.ds(jb, cap)].reshape(1, cap))
                     dz = dz - L * jnp.round(dz * inv_l)
                     r2 = dx * dx + dy * dy + dz * dz
                     accumulate(dx, dy, dz, r2, r2 < rc_square, jb, cap)
@@ -177,7 +223,10 @@ def _pencil_fused_kernel(
         # (same-pencil sentinel artifacts land only on invalid slots) +
         # second half-kick. f_acc rows 3..7 were zeroed and never written.
         a_out[:, :] = (24.0 * f_acc[:, :]) * r_out[3:4, :]
-        v_out[:, :] = v_out[:, :] + a_out[:, :] * half_dt
+        if extended:
+            _comp_add(v_out, vc_out, a_out[:, :] * half_dt)
+        else:
+            v_out[:, :] = v_out[:, :] + a_out[:, :] * half_dt
         return carry
 
     jax.lax.fori_loop(0, n_steps, step_body, 0)
@@ -210,10 +259,13 @@ def fused_pencil_chunk(
     n_steps: int,
     interpret: bool = False,
     approx_reciprocal: bool = True,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    r_lo: jax.Array | None = None,
+    vc: jax.Array | None = None,
+) -> tuple[jax.Array, ...]:
     """Advance ``n_steps`` velocity-Verlet steps of the slot-layout state in
     one Pallas program (see module doc for the contracts). Returns
-    (r, v, a); the outputs alias the input buffers."""
+    (r, v, a) — or (r, r_lo, v, vc, a) in the extended two-float mode when
+    ``r_lo``/``vc`` are passed; the outputs alias the input buffers."""
     if n_steps > MAX_PENCIL_CHUNK_STEPS:
         raise ValueError(
             f"n_steps={n_steps} exceeds MAX_PENCIL_CHUNK_STEPS={MAX_PENCIL_CHUNK_STEPS}"
@@ -221,6 +273,7 @@ def fused_pencil_chunk(
     ns = r.shape[1]
     if ns != n_pencils * capacity:
         raise ValueError(f"n_slots {ns} != n_pencils*capacity {n_pencils * capacity}")
+    extended = r_lo is not None
     kernel = functools.partial(
         _pencil_fused_kernel,
         n_pencils=n_pencils,
@@ -231,8 +284,10 @@ def fused_pencil_chunk(
         dt=float(dt),
         n_steps=n_steps,
         approx_reciprocal=approx_reciprocal and not interpret,
+        extended=extended,
     )
-    out_shape = [jax.ShapeDtypeStruct((8, ns), r.dtype)] * 3
+    n_state = 5 if extended else 3
+    out_shape = [jax.ShapeDtypeStruct((8, ns), r.dtype)] * n_state
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     # Candidate slots per step: self-triangular + 4 full neighbor sweeps.
@@ -241,19 +296,21 @@ def fused_pencil_chunk(
         sum(TILE_I * (capacity - TILE_I * si) for si in range(n_sub))
         + n_sub * 4 * TILE_I * capacity
     )
+    ins = (tbl, shf, r, r_lo, v, vc, a) if extended else (tbl, shf, r, v, a)
+    aliases = {i + 2: i for i in range(n_state)}
     return tuple(
         pl.pallas_call(
             kernel,
-            in_specs=[smem, smem, vmem, vmem, vmem],
-            out_specs=[vmem] * 3,
+            in_specs=[smem, smem] + [vmem] * n_state,
+            out_specs=[vmem] * n_state,
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((8, ns), r.dtype)],
-            input_output_aliases={2: 0, 3: 1, 4: 2},
+            input_output_aliases=aliases,
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=int(30 * cand) * n_steps,
-                bytes_accessed=int(4 * 8 * ns * 7),
+                flops=int((36 if extended else 30) * cand) * n_steps,
+                bytes_accessed=int(4 * 8 * ns * (2 * n_state + 1)),
                 transcendentals=0,
             ),
-        )(tbl, shf, r, v, a)
+        )(*ins)
     )

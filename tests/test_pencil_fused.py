@@ -34,16 +34,17 @@ def test_fused_pencil_matches_per_step(temp):
     )
     eng = _cellpair_engine(cfg)
     assert eng.run_fast is not None
+    step1 = jax.jit(lambda c: eng.step_fast(c)[0])
     c0, _ = eng.init(_liquid_state(cfg, temp))
     # advance off the lattice so rebins can trigger inside the window
     for _ in range(20):
-        c0, _ = eng.step_fast(c0)
+        c0 = step1(c0)
 
     n_steps = 17  # 2 full chunks + remainder
     ca = c0
     for _ in range(n_steps):
-        ca, _ = eng.step_fast(ca)
-    cb = eng.run_fast(c0, n_steps)
+        ca = step1(ca)
+    cb = jax.jit(lambda c: eng.run_fast(c, n_steps))(c0)
 
     sa, sb = eng.get_state(ca), eng.get_state(cb)
     assert not bool(cb.overflow)
@@ -53,6 +54,37 @@ def test_fused_pencil_matches_per_step(temp):
     assert float(jnp.max(jnp.abs(sa.a - sb.a))) < 1e-8
 
 
+def test_fused_pencil_extended_matches_per_step_compensated():
+    """Extended two-float fused pencil path (VERDICT round-2 item 2) == the
+    per-step compensated path, across rebins. In f64 the remainder rows are
+    sub-roundoff, so trajectory agreement to 1e-10 pins pair coverage and
+    the compensated integration plumbing (the f32 precision benefit itself
+    is measured on TPU, docs/RESULTS.md)."""
+    cfg = config_from_density(
+        num_cells=5, density=0.5, dt=0.005, dtype="float64", neighbor_skin=0.4
+    )
+    eng = _cellpair_engine(cfg, compensated=True)
+    assert eng.run_fast is not None, "extended fused path must be viable"
+    step1 = jax.jit(lambda c: eng.step_fast(c)[0])
+    c0, _ = eng.init(_liquid_state(cfg, 1.2))
+    for _ in range(20):
+        c0 = step1(c0)
+
+    n_steps = 17
+    ca = c0
+    for _ in range(n_steps):
+        ca = step1(ca)
+    cb = jax.jit(lambda c: eng.run_fast(c, n_steps))(c0)
+
+    sa, sb = eng.get_state(ca), eng.get_state(cb)
+    assert not bool(cb.overflow)
+    for name in ("r", "ru", "v"):
+        da = float(jnp.max(jnp.abs(getattr(sa, name) - getattr(sb, name))))
+        assert da < 1e-10, f"{name} diverged: {da}"
+    assert float(jnp.max(jnp.abs(sa.a - sb.a))) < 1e-8
+
+
+@pytest.mark.slow
 def test_fused_pencil_energy_matches_per_step():
     """Total energy after 64 fused steps equals the per-step path's (a
     missed pair in the fused sweep would show up here at O(1), far above
@@ -63,14 +95,15 @@ def test_fused_pencil_energy_matches_per_step():
         num_cells=5, density=0.5, dt=0.003, dtype="float64", neighbor_skin=0.4
     )
     eng = _cellpair_engine(cfg)
+    stepj = jax.jit(eng.step)
     c0, _ = eng.init(_liquid_state(cfg, 1.0))
     ca = c0
     for _ in range(64):
-        ca, oa = eng.step(ca)
-    cb = eng.run_fast(c0, 64)
-    _, ob = eng.step(cb)
+        ca, oa = stepj(ca)
+    cb = jax.jit(lambda c: eng.run_fast(c, 64))(c0)
+    _, ob = stepj(cb)
     ea = float(oa.epot + oa.ekin)
-    _, oa2 = eng.step(ca)
+    _, oa2 = stepj(ca)
     ea2 = float(oa2.epot + oa2.ekin)
     eb = float(ob.epot + ob.ekin)
     assert abs(eb - ea2) < 1e-6 * abs(ea2), (ea, ea2, eb)
