@@ -24,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ljmd_tpu.config import SimConfig
+from ljmd_tpu.models.engine import _comp_add, _effective_dtype
 from ljmd_tpu.ops.geometry import minimum_image, wrap_positions
 from ljmd_tpu.ops.lj import _pair_terms, tail_corrections
 from ljmd_tpu.parallel.mesh import PARTICLE_AXIS
@@ -176,8 +177,16 @@ def _make_local_step(
     comm="ring": ppermute ring exchange of j blocks (O(N/d) per-chip memory);
     comm="all_gather": replicate positions per device (the round-1 path,
     kept for tests/fallback). use_pallas selects the tiled Pallas rect
-    kernel for the local sweep (default: on TPU)."""
-    dtype = jnp.dtype(cfg.dtype)
+    kernel for the local sweep (default: on TPU).
+
+    Precision follows the single-chip engines (commit 72192a8's invariant,
+    extended to multi-chip per VERDICT round-2 item 3a): the policy keys on
+    the EFFECTIVE dtype, and f32 at dt <= 1e-3 gets Neumaier-compensated
+    updates. When compensated, ``step_local`` takes/returns
+    ``(state, rc, vc)`` instead of a bare MDState; callers check the
+    ``step_local.compensated`` attribute."""
+    dtype = _effective_dtype(cfg)
+    compensated = (cfg.compensated_sum or cfg.dt <= 1.0e-3) and dtype == jnp.float32
     dt = cfg.dt
     half_dt = 0.5 * cfg.dt
     half_dt_sq = 0.5 * cfg.dt * cfg.dt
@@ -214,25 +223,52 @@ def _make_local_step(
         dd_epot = 12.0 * ddu + jnp.asarray(dd_t, dtype)
         return 24.0 * a_raw, epot, d_epot, dd_epot
 
-    def step_local(state: MDState):
-        r_new = wrap_positions(state.r + state.v * dt + state.a * half_dt_sq, L)
-        v_half = state.v + state.a * half_dt
-        a_new, epot, d_epot, dd_epot = local_force(r_new)
-        v_new = v_half + a_new * half_dt
-        ekin = lax.psum(0.5 * jnp.sum(v_new * v_new), axis)
-        ru_new = state.ru + minimum_image(r_new - state.r, L)
-        new_state = MDState(r=r_new, ru=ru_new, v=v_new, a=a_new)
-        return new_state, StepObs(epot=epot, ekin=ekin, d_epot=d_epot, dd_epot=dd_epot)
+    if compensated:
+        def step_local(state: MDState, rc: jax.Array, vc: jax.Array):
+            # Same update order and wrap handling as the single-chip rows
+            # engine's compensated _step (models/engine.py) so multi-chip
+            # and single-chip compensated trajectories are comparable.
+            r_raw, rc_new = _comp_add(state.r, rc, state.v * dt + state.a * half_dt_sq)
+            r_new = wrap_positions(r_raw, L)
+            v_half, vc_half = _comp_add(state.v, vc, state.a * half_dt)
+            a_new, epot, d_epot, dd_epot = local_force(r_new)
+            v_new, vc_new = _comp_add(v_half, vc_half, a_new * half_dt)
+            v_eff = v_new + vc_new
+            ekin = lax.psum(0.5 * jnp.sum(v_eff * v_eff), axis)
+            ru_new = state.ru + minimum_image(r_new - state.r, L)
+            new_state = MDState(r=r_new, ru=ru_new, v=v_new, a=a_new)
+            return (new_state, rc_new, vc_new), StepObs(
+                epot=epot, ekin=ekin, d_epot=d_epot, dd_epot=dd_epot
+            )
 
-    def init_local(state: MDState):
-        """t=0 force evaluation on the shard (the reference drivers' initial
-        force call, md_simulation_program.f90:236)."""
-        a_new, epot, d_epot, dd_epot = local_force(state.r)
-        ekin = lax.psum(0.5 * jnp.sum(state.v * state.v), axis)
-        new_state = MDState(r=state.r, ru=state.ru, v=state.v, a=a_new)
-        return new_state, StepObs(epot=epot, ekin=ekin, d_epot=d_epot, dd_epot=dd_epot)
+        def init_local(state: MDState, rc: jax.Array, vc: jax.Array):
+            a_new, epot, d_epot, dd_epot = local_force(state.r)
+            ekin = lax.psum(0.5 * jnp.sum(state.v * state.v), axis)
+            new_state = MDState(r=state.r, ru=state.ru, v=state.v, a=a_new)
+            return (new_state, rc, vc), StepObs(
+                epot=epot, ekin=ekin, d_epot=d_epot, dd_epot=dd_epot
+            )
+    else:
+        def step_local(state: MDState):
+            r_new = wrap_positions(state.r + state.v * dt + state.a * half_dt_sq, L)
+            v_half = state.v + state.a * half_dt
+            a_new, epot, d_epot, dd_epot = local_force(r_new)
+            v_new = v_half + a_new * half_dt
+            ekin = lax.psum(0.5 * jnp.sum(v_new * v_new), axis)
+            ru_new = state.ru + minimum_image(r_new - state.r, L)
+            new_state = MDState(r=r_new, ru=ru_new, v=v_new, a=a_new)
+            return new_state, StepObs(epot=epot, ekin=ekin, d_epot=d_epot, dd_epot=dd_epot)
+
+        def init_local(state: MDState):
+            """t=0 force evaluation on the shard (the reference drivers'
+            initial force call, md_simulation_program.f90:236)."""
+            a_new, epot, d_epot, dd_epot = local_force(state.r)
+            ekin = lax.psum(0.5 * jnp.sum(state.v * state.v), axis)
+            new_state = MDState(r=state.r, ru=state.ru, v=state.v, a=a_new)
+            return new_state, StepObs(epot=epot, ekin=ekin, d_epot=d_epot, dd_epot=dd_epot)
 
     step_local.init_local = init_local
+    step_local.compensated = compensated
     return step_local
 
 
@@ -257,13 +293,22 @@ def make_spatial_step_fn(
 
     step_local = _make_local_step(cfg, axis, n_shards, comm=comm, use_pallas=use_pallas)
     spec = spatial_state_specs()
-    return shard_map(
+    p = P(PARTICLE_AXIS, None)
+    if step_local.compensated:
+        in_specs = (spec, p, p)
+        out_specs = ((spec, p, p), StepObs(P(), P(), P(), P()))
+    else:
+        in_specs = (spec,)
+        out_specs = (spec, StepObs(P(), P(), P(), P()))
+    fn = shard_map(
         step_local,
         mesh=mesh,
-        in_specs=(spec,),
-        out_specs=(spec, StepObs(P(), P(), P(), P())),
+        in_specs=in_specs,
+        out_specs=out_specs,
         check_vma=False,  # Pallas out_shape carries no vma annotation
     )
+    fn.compensated = step_local.compensated
+    return fn
 
 
 def make_ensemble_spatial_step_fn(
@@ -289,18 +334,30 @@ def make_ensemble_spatial_step_fn(
 
     single_step = _make_local_step(cfg, axis, n_shards, comm=comm, use_pallas=use_pallas)
 
-    def step_local(state: MDState):
-        return jax.vmap(single_step)(state)
-
     spec = MDState(*(P(REPLICA_AXIS, axis, None),) * 4)
+    p = P(REPLICA_AXIS, axis, None)
     obs_spec = StepObs(*(P(REPLICA_AXIS),) * 4)
-    return shard_map(
+    if single_step.compensated:
+        def step_local(state: MDState, rc: jax.Array, vc: jax.Array):
+            return jax.vmap(single_step)(state, rc, vc)
+
+        in_specs = (spec, p, p)
+        out_specs = ((spec, p, p), obs_spec)
+    else:
+        def step_local(state: MDState):
+            return jax.vmap(single_step)(state)
+
+        in_specs = (spec,)
+        out_specs = (spec, obs_spec)
+    fn = shard_map(
         step_local,
         mesh=mesh,
-        in_specs=(spec,),
-        out_specs=(spec, obs_spec),
+        in_specs=in_specs,
+        out_specs=out_specs,
         check_vma=False,
     )
+    fn.compensated = single_step.compensated
+    return fn
 
 
 def make_spatial_engine(
@@ -328,6 +385,39 @@ def make_spatial_engine(
     step_local = _make_local_step(cfg, axis, n_shards, comm=comm, use_pallas=use_pallas)
     spec = spatial_state_specs()
     obs_spec = StepObs(P(), P(), P(), P())
+    p = P(PARTICLE_AXIS, None)
+    if step_local.compensated:
+        # Carry = (MDState, rc, vc): the compensated multi-chip step (a
+        # dt=1e-4 f32 run must not drift the way the single-chip path was
+        # fixed for — commit 72192a8's invariant, VERDICT round-2 item 3a).
+        in_specs = ((spec, p, p),)
+        out_specs = ((spec, p, p), obs_spec)
+        step = shard_map(
+            lambda c: step_local(*c), mesh=mesh, in_specs=in_specs,
+            out_specs=out_specs, check_vma=False,
+        )
+        init_sharded = shard_map(
+            lambda c: step_local.init_local(*c), mesh=mesh, in_specs=in_specs,
+            out_specs=out_specs, check_vma=False,
+        )
+
+        def init(state: MDState):
+            s = shard_state(state, mesh)
+            zero = jax.tree.map(jnp.zeros_like, s.r)
+            return init_sharded((s, zero, zero))
+
+        def get_state(c):
+            state, _rc, vc = c
+            return MDState(r=state.r, ru=state.ru, v=state.v + vc, a=state.a)
+
+        return Engine(
+            init=init,
+            step=step,
+            get_state=get_state,
+            diagnostics=lambda c: {},
+            step_fast=step,
+        )
+
     step = shard_map(
         step_local, mesh=mesh, in_specs=(spec,), out_specs=(spec, obs_spec),
         check_vma=False,  # Pallas out_shape carries no vma annotation

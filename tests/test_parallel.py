@@ -157,6 +157,7 @@ def test_ring_matches_all_gather_and_pallas():
         assert float(obs.d_epot[-1]) == pytest.approx(float(ref_obs.d_epot[-1]), rel=1e-10)
 
 
+@pytest.mark.slow
 def test_spatial_engine_production_matches_single_device():
     """The sharded engine runs through the standard production driver
     (sampling cadence + means + correlations) and matches the single-device
@@ -183,6 +184,7 @@ def test_spatial_engine_production_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_ring_8way_larger_n_forces():
     """8-way particle sharding at N=2048: ring forces equal the single-device
     dense kernel (meaningful shard sizes, VERDICT round-1 item 4)."""
@@ -233,3 +235,154 @@ def test_streaming_ensemble_matches_in_memory():
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(got.mean_of_means),
                                np.asarray(want.mean_of_means), rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Sharded STRUCTURED engine (pencil strips + ppermute halo exchange) and the
+# multi-chip precision policy (VERDICT round-2 item 3).
+# ---------------------------------------------------------------------------
+
+
+def _melted_state(cfg, temp=1.0, seed=0, dtype=jnp.float64):
+    from ljmd_tpu.models.lattice import (
+        fcc_lattice,
+        random_velocities,
+        remove_com_velocity,
+    )
+    from ljmd_tpu.state import MDState
+
+    n = cfg.n
+    r = fcc_lattice(cfg.num_cells, cfg.box_length, dtype=dtype)
+    v = remove_com_velocity(
+        random_velocities(jax.random.PRNGKey(seed), n, dtype=dtype)
+    )
+    v = v * jnp.sqrt(temp / (jnp.sum(v * v) / (3 * n)))
+    return MDState(r=r, ru=r, v=v, a=jnp.zeros_like(r))
+
+
+def test_sharded_pencil_matches_single_device_cellpair():
+    """Pencil-strip sharding (ppermute halo of the +x column) over 5 devices
+    == the single-device cellpair engine, through melt steps that include a
+    displacement-triggered global rebin. N=4000: the BASELINE-config-5-shaped
+    structured path composing with the mesh (O(N/d + halo) pair work)."""
+    from jax.sharding import Mesh
+
+    from ljmd_tpu.models.engine import _cellpair_engine
+    from ljmd_tpu.parallel.mesh import PARTICLE_AXIS
+    from ljmd_tpu.parallel.spatial_pencil import make_sharded_pencil_engine
+
+    cfg = config_from_density(
+        num_cells=10, density=0.8442, dt=0.004, dtype="float64",
+        neighbor_skin=0.49,
+    )
+    st = _melted_state(cfg, temp=1.2)
+    mesh = Mesh(np.array(jax.devices()[:5]), (PARTICLE_AXIS,))
+    es = make_sharded_pencil_engine(cfg, mesh)
+    ec = _cellpair_engine(cfg)
+
+    cs, obs_s = es.init(st)
+    cc, obs_c = ec.init(st)
+    assert float(obs_s.epot) == pytest.approx(float(obs_c.epot), rel=1e-12)
+    assert float(obs_s.d_epot) == pytest.approx(float(obs_c.d_epot), rel=1e-12)
+
+    step_s = jax.jit(es.step)
+    step_c = jax.jit(ec.step)
+    for _ in range(12):
+        cs, os_ = step_s(cs)
+        cc, oc_ = step_c(cc)
+    ss, sc = es.get_state(cs), ec.get_state(cc)
+    for f in ("r", "ru", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ss, f)), np.asarray(getattr(sc, f)),
+            rtol=0, atol=1e-12, err_msg=f,
+        )
+    np.testing.assert_allclose(np.asarray(ss.a), np.asarray(sc.a),
+                               rtol=0, atol=1e-10)
+    assert float(os_.epot) == pytest.approx(float(oc_.epot), rel=1e-12)
+    assert not bool(jax.device_get(cs.overflow))
+
+
+def test_sharded_pencil_rejects_non_divisor_axis():
+    from jax.sharding import Mesh
+
+    from ljmd_tpu.parallel.mesh import PARTICLE_AXIS
+    from ljmd_tpu.parallel.spatial_pencil import make_sharded_pencil_engine
+
+    cfg = config_from_density(
+        num_cells=10, density=0.8442, dt=0.004, dtype="float64",
+        neighbor_skin=0.49,
+    )  # 5x5 pencil grid
+    mesh = Mesh(np.array(jax.devices()[:4]), (PARTICLE_AXIS,))
+    with pytest.raises(ValueError, match="does not split"):
+        make_sharded_pencil_engine(cfg, mesh)
+
+
+def test_spatial_engine_compensated_carry_and_policy():
+    """dt <= 1e-3 f32 multi-chip: the spatial engine must carry compensation
+    terms (item 3a — the single-chip effective-dtype invariant extends to the
+    mesh) and still reproduce finite, sane observables."""
+    from ljmd_tpu.parallel.spatial import make_spatial_engine
+
+    cfg = small_cfg(dt=1e-4, dtype="float32", total_steps=20,
+                    warmup_steps=0, output_interval=5)
+    mesh = make_mesh(particle=4, devices=jax.devices()[:4])
+    eng = make_spatial_engine(cfg, mesh, comm="ring")
+    state = initialize(cfg, backend="dense")
+    carry, obs0 = eng.init(state)
+    assert isinstance(carry, tuple) and len(carry) == 3
+    stepj = jax.jit(eng.step)
+    for _ in range(5):
+        carry, obs = stepj(carry)
+    e0 = float(obs0.epot + obs0.ekin)
+    e1 = float(obs.epot + obs.ekin)
+    assert np.isfinite(e1)
+    assert abs(e1 - e0) < 1e-3 * abs(e0)
+
+
+@pytest.mark.slow
+def test_sharded_pencil_compensated_dt1em4_tracks_f64_oracle():
+    """Compensated multi-chip integration at the reference's own dt=1e-4 in
+    f32 (item 3 acceptance), measured the same way as the single-chip
+    compensation tests (tests/test_compensated.py): against the f64 oracle
+    trajectory of the SAME engine. An energy-drift assertion is the wrong
+    metric here — the unshifted truncated potential's rc-crossing bookkeeping
+    fluctuates at the 1e-3 level regardless of integrator precision
+    (CLAUDE.md: 1.86e-4 std in pure f64 at N=500)."""
+    from jax import lax
+    from jax.sharding import Mesh
+
+    from ljmd_tpu.parallel.mesh import PARTICLE_AXIS
+    from ljmd_tpu.parallel.spatial_pencil import make_sharded_pencil_engine
+
+    base = dict(num_cells=6, density=0.8442, dt=1e-4, neighbor_skin=0.49)
+    cfg64 = config_from_density(dtype="float64", **base)  # N=864, 3x3 grid
+    cfg32 = config_from_density(dtype="float32", **base)
+    st64 = _melted_state(cfg64, temp=0.9, dtype=jnp.float64)
+    st32 = jax.tree.map(lambda x: x.astype(jnp.float32), st64)
+    mesh = Mesh(np.array(jax.devices()[:3]), (PARTICLE_AXIS,))
+
+    def run(cfg, st, compensated, n_steps=400):
+        eng = make_sharded_pencil_engine(cfg, mesh, compensated=compensated)
+        c0, _ = eng.init(st)
+
+        @jax.jit
+        def go(c):
+            def body(cc, _):
+                cc2, _o = eng.step_fast(cc)
+                return cc2, None
+            c, _ = lax.scan(body, c, None, length=n_steps)
+            return c
+
+        return eng.get_state(go(c0))
+
+    s64 = run(cfg64, st64, compensated=False)
+    s_comp = run(cfg32, st32, compensated=True)
+    s_plain = run(cfg32, st32, compensated=False)
+
+    ref_v = np.asarray(s64.v)
+    err_comp = np.abs(np.asarray(s_comp.v, dtype=np.float64) - ref_v).max()
+    err_plain = np.abs(np.asarray(s_plain.v, dtype=np.float64) - ref_v).max()
+    # dt=1e-4 velocity increments underflow plain f32 addition; the
+    # compensated sharded path must recover a significantly better
+    # trajectory (the single-chip engines' bar, test_compensated.py:55).
+    assert err_comp < err_plain * 0.5, (err_comp, err_plain)
