@@ -169,19 +169,36 @@ def initialize(
     cfg: SimConfig,
     key: Optional[jax.Array] = None,
     backend: str = "auto",
+    velocity_init: str = "threefry",
 ) -> MDState:
     """Initial-configuration pipeline (md_initial_config_program.f90:58-121).
 
     Returns the post-warmup state (the rv_init.dat contract): positions on a
     perturbed-equilibrated fluid, velocities rescaled so E_tot == target at
     the rescale point, accelerations consistent with positions.
+
+    ``velocity_init``: "threefry" (default; splittable JAX keys, the
+    production choice) or "ran3" — the reference's exact subtractive-RNG
+    velocity stream seeded with ``cfg.seed``
+    (md_initial_config_program.f90:82-83,196-209; bit-exact port in
+    utils/ran3.py). ran3 runs on the host, so it cannot be used under
+    jit/vmap — it exists to make full init-pipeline parity with the Fortran
+    program one function call.
     """
     dtype = _effective_dtype(cfg)
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
 
     r = fcc_lattice(cfg.num_cells, cfg.box_length, dtype=dtype)
-    v = random_velocities(key, cfg.n, dtype=dtype)
+    if velocity_init == "ran3":
+        from ljmd_tpu.utils.ran3 import reference_initial_velocities
+
+        v = jnp.asarray(reference_initial_velocities(cfg.n, seed=cfg.seed),
+                        dtype=dtype)
+    elif velocity_init == "threefry":
+        v = random_velocities(key, cfg.n, dtype=dtype)
+    else:
+        raise ValueError(f"unknown velocity_init {velocity_init!r}")
     v = remove_com_velocity(v)
 
     engine = make_engine(cfg, backend)
