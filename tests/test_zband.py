@@ -57,6 +57,7 @@ def test_z_sorted_ranks(tall_box):
         assert (np.diff(zs) >= 0).all()
 
 
+@pytest.mark.slow
 def test_zband_matches_full_sweep(tall_box):
     n, L, r, grid = tall_box
     rc = 2.5
