@@ -57,18 +57,20 @@ def fetch(x):
     return float(jnp.sum(x[0] if isinstance(x, (tuple, list)) else x))
 
 
-def diff(fn_a, fn_b, scale, label, reps=5):
+def diff(fa, fb, scale, label, reps=5):
     """Per-unit slope between two variants differing by `scale` units."""
-    a = fn_a()
-    fetch(a)
-    b = fn_b()
-    fetch(b)
+    fn_a, args_a = fa
+    fn_b, args_b = fb
+    print(f"[compile] {label} (a)", flush=True)
+    fetch(fn_a(*args_a))
+    print(f"[compile] {label} (b)", flush=True)
+    fetch(fn_b(*args_b))
     slopes = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        fetch(fn_a())
+        fetch(fn_a(*args_a))
         t1 = time.perf_counter()
-        fetch(fn_b())
+        fetch(fn_b(*args_b))
         t2 = time.perf_counter()
         slopes.append(((t2 - t1) - (t1 - t0)) / scale)
     slopes.sort()
@@ -146,7 +148,7 @@ def run_k1(r8, ti, tj, v, tj_w=512):
         out_shape=jax.ShapeDtypeStruct((8, N_PAD), jnp.float32),
         scratch_shapes=[pltpu.VMEM((8, N_PAD), jnp.float32)],
     )
-    return jax.jit(lambda: f(ti, tj, r8))
+    return jax.jit(f), (ti, tj, r8)
 
 
 # ---------------- K2b: same tiles, transposed i accumulation ----------------
@@ -208,7 +210,7 @@ def run_k2b(r8, rT, ti, tj, v, tj_w=512):
         scratch_shapes=[pltpu.VMEM((8, N_PAD), jnp.float32),
                         pltpu.VMEM((N_PAD, 8), jnp.float32)],
     )
-    return jax.jit(lambda: f(ti, tj, r8, rT))
+    return jax.jit(f), (ti, tj, r8, rT)
 
 
 # ---------------- K2: transposed tile (TJ sub, 128 lanes) ----------------
@@ -270,7 +272,7 @@ def run_k2(r8, rT, ti, tj, v, tj_w=512):
         scratch_shapes=[pltpu.VMEM((8, N_PAD), jnp.float32),
                         pltpu.VMEM((N_PAD, 8), jnp.float32)],
     )
-    return jax.jit(lambda: f(ti, tj, r8, rT))
+    return jax.jit(f), (ti, tj, r8, rT)
 
 
 # ---------------- per-step glue probes (differential over ITERS) --------
@@ -287,7 +289,7 @@ def transpose_cost(shape_in, iters):
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
     )
     x = jnp.ones(shape_in, jnp.float32)
-    return jax.jit(lambda: f(x))
+    return jax.jit(f), (x,)
 
 
 def dot_transpose_cost(iters):
@@ -311,39 +313,203 @@ def dot_transpose_cost(iters):
         out_shape=jax.ShapeDtypeStruct((8, N_PAD), jnp.float32),
     )
     x = jnp.ones((N_PAD, 8), jnp.float32)
-    return jax.jit(lambda: f(x, eye))
+    return jax.jit(f), (x, eye)
 
 
-def main():
+def main(which):
     print("devices:", jax.devices(), flush=True)
     key = jax.random.PRNGKey(0)
     r8, rT = make_state(key)
     v_lo, v_hi = 32, 128
     ti_hi, tj_hi = visit_lists(v_hi, jax.random.fold_in(key, 7))
-    ti_lo, tj_lo = ti_hi[:v_lo], tj_hi[:v_lo]
+    ti_lo = ti_hi[:v_lo]
 
     scale = (v_hi - v_lo) * STEPS
     for tj_w in (512, 128):
+        tag = f"{tj_w}"
         tjh = tj_hi % max(1, (N_PAD // tj_w))
         tjl = tjh[:v_lo]
-        diff(run_k1(r8, ti_lo, tjl, v_lo, tj_w),
-             run_k1(r8, ti_hi, tjh, v_hi, tj_w),
-             scale, f"K1  current body   ({tj_w}x... tile)")
-        diff(run_k2b(r8, rT, ti_lo, tjl, v_lo, tj_w),
-             run_k2b(r8, rT, ti_hi, tjh, v_hi, tj_w),
-             scale, f"K2b transposed-acc ({tj_w} lanes j)")
-        tjs = (tj_hi * 37) % ((N_PAD - tj_w) // 8)
-        diff(run_k2(r8, rT, ti_lo, tjs[:v_lo], v_lo, tj_w),
-             run_k2(r8, rT, ti_hi, tjs, v_hi, tj_w),
-             scale, f"K2  transposed tile ({tj_w} sub j)")
+        if f"k1-{tag}" in which:
+            diff(run_k1(r8, ti_lo, tjl, v_lo, tj_w),
+                 run_k1(r8, ti_hi, tjh, v_hi, tj_w),
+                 scale, f"K1  current body   ({tj_w} lanes j)")
+        if f"k2b-{tag}" in which:
+            diff(run_k2b(r8, rT, ti_lo, tjl, v_lo, tj_w),
+                 run_k2b(r8, rT, ti_hi, tjh, v_hi, tj_w),
+                 scale, f"K2b transposed-acc ({tj_w} lanes j)")
+        if f"k2-{tag}" in which:
+            tjs = (tj_hi * 37) % ((N_PAD - tj_w) // 8)
+            diff(run_k2(r8, rT, ti_lo, tjs[:v_lo], v_lo, tj_w),
+                 run_k2(r8, rT, ti_hi, tjs, v_hi, tj_w),
+                 scale, f"K2  transposed tile ({tj_w} sub j)")
+
+    if "k4-512" in which:
+        tjh = tj_hi % (N_PAD // 512)
+        diff(run_k4(r8, ti_lo, tjh[:v_lo], v_lo, 512),
+             run_k4(r8, ti_hi, tjh, v_hi, 512),
+             scale, "K4  K1+unroll2+dualacc (512)")
+    if "k4z-512" in which:
+        tjh = tj_hi % (N_PAD // 512)
+        diff(run_k4(r8, ti_lo, tjh[:v_lo], v_lo, 512, mic_z=False),
+             run_k4(r8, ti_hi, tjh, v_hi, 512, mic_z=False),
+             scale, "K4z K4 without z-MIC (512)")
+    if "k3-512" in which:
+        tjh = tj_hi % (N_PAD // 512)
+        diff(run_k3(r8, rT, ti_lo, tjh[:v_lo], v_lo, 512),
+             run_k3(r8, rT, ti_hi, tjh, v_hi, 512),
+             scale, "K3  K2b+unroll2+dualacc (512)")
 
     it_lo, it_hi = 64, 512
-    for shape in ((8, N_PAD), (N_PAD, 8)):
-        diff(transpose_cost(shape, it_lo), transpose_cost(shape, it_hi),
-             it_hi - it_lo, f"jnp.transpose {shape}")
-    diff(dot_transpose_cost(it_lo), dot_transpose_cost(it_hi),
-         it_hi - it_lo, "dot-transpose (N,8)->(8,N) chunked")
+    if "trans" in which:
+        for shape in ((8, N_PAD), (N_PAD, 8)):
+            diff(transpose_cost(shape, it_lo), transpose_cost(shape, it_hi),
+                 it_hi - it_lo, f"jnp.transpose {shape}")
+    if "dot" in which:
+        diff(dot_transpose_cost(it_lo), dot_transpose_cost(it_hi),
+             it_hi - it_lo, "dot-transpose (N,8)->(8,N) chunked")
+
+
+# ---------------- K3: K2b + 2-way unroll + dual accumulators ----------------
+def k3_kernel(ti_ref, tj_ref, r_in, rT_in, r_out, fT_out, f_acc, f_acc2,
+              fT_acc, fT_acc2, *, v, tj_w):
+    r_out[:, :] = r_in[:, :]
+    fT_out[:, :] = rT_in[:, :]
+
+    def step(s, c):
+        r_out[0, :] += 1e-6
+        f_acc[:, :] = jnp.zeros_like(f_acc)
+        f_acc2[:, :] = jnp.zeros_like(f_acc2)
+        fT_acc[:, :] = jnp.zeros_like(fT_acc)
+        fT_acc2[:, :] = jnp.zeros_like(fT_acc2)
+
+        def one(t, fa, fta):
+            i_lo = ti_ref[t] * 128
+            j_lo = tj_ref[t] * tj_w
+            isl = pl.ds(i_lo, 128)
+            jsl = pl.ds(j_lo, tj_w)
+            xi = fT_out[isl, 0:1]
+            yi = fT_out[isl, 1:2]
+            zi = fT_out[isl, 2:3]
+            xj = r_out[0, jsl].reshape(1, tj_w)
+            yj = r_out[1, jsl].reshape(1, tj_w)
+            zj = r_out[2, jsl].reshape(1, tj_w)
+            dx = xi - xj
+            dy = yi - yj
+            dz = zi - zj
+            dx = dx - L * jnp.round(dx * (1.0 / L))
+            dy = dy - L * jnp.round(dy * (1.0 / L))
+            dz = dz - L * jnp.round(dz * (1.0 / L))
+            r2 = dx * dx + dy * dy + dz * dz
+            mask = r2 < RC2
+            coef, _du, _e, _ddu = lj_pair_terms(r2, mask, True, False)
+            fx = coef * dx
+            fy = coef * dy
+            fz = coef * dz
+            fta[isl, 0:1] += jnp.sum(fx, axis=1, keepdims=True)
+            fta[isl, 1:2] += jnp.sum(fy, axis=1, keepdims=True)
+            fta[isl, 2:3] += jnp.sum(fz, axis=1, keepdims=True)
+            fa[0, jsl] -= jnp.sum(fx, axis=0)
+            fa[1, jsl] -= jnp.sum(fy, axis=0)
+            fa[2, jsl] -= jnp.sum(fz, axis=0)
+
+        def body(t2, c2):
+            one(2 * t2, f_acc, fT_acc)
+            one(2 * t2 + 1, f_acc2, fT_acc2)
+            return c2
+
+        jax.lax.fori_loop(0, v // 2, body, 0)
+        r_out[1, :] += (f_acc[1, :] + f_acc2[1, :]) * 1e-9
+        r_out[2, :] += (fT_acc[0:8, 0] + fT_acc2[0:8, 0]).reshape(8)[0] * 0.0
+        return c
+
+    jax.lax.fori_loop(0, STEPS, step, 0)
+
+
+def run_k3(r8, rT, ti, tj, v, tj_w=512):
+    kern = functools.partial(k3_kernel, v=v, tj_w=tj_w)
+    f = pl.pallas_call(
+        kern, in_specs=[smem(), smem(), vmem(), vmem()],
+        out_specs=[vmem(), vmem()],
+        out_shape=[jax.ShapeDtypeStruct((8, N_PAD), jnp.float32),
+                   jax.ShapeDtypeStruct((N_PAD, 8), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, N_PAD), jnp.float32),
+                        pltpu.VMEM((8, N_PAD), jnp.float32),
+                        pltpu.VMEM((N_PAD, 8), jnp.float32),
+                        pltpu.VMEM((N_PAD, 8), jnp.float32)],
+    )
+    return jax.jit(f), (ti, tj, r8, rT)
+
+
+
+
+# ---------------- K4: K1 layout + 2-way unroll + dual accumulators --------
+def k4_kernel(ti_ref, tj_ref, r_in, r_out, f_acc, f_acc2, *, v, tj_w,
+              mic_z=True):
+    r_out[:, :] = r_in[:, :]
+
+    def step(s, c):
+        r_out[0, :] += 1e-6
+        f_acc[:, :] = jnp.zeros_like(f_acc)
+        f_acc2[:, :] = jnp.zeros_like(f_acc2)
+
+        def one(t, fa):
+            i_lo = ti_ref[t] * 128
+            j_lo = tj_ref[t] * tj_w
+            isl = pl.ds(i_lo, 128)
+            jsl = pl.ds(j_lo, tj_w)
+            xi = r_out[0, isl].reshape(128, 1)
+            yi = r_out[1, isl].reshape(128, 1)
+            zi = r_out[2, isl].reshape(128, 1)
+            xj = r_out[0, jsl].reshape(1, tj_w)
+            yj = r_out[1, jsl].reshape(1, tj_w)
+            zj = r_out[2, jsl].reshape(1, tj_w)
+            dx = xi - xj
+            dy = yi - yj
+            dz = zi - zj
+            dx = dx - L * jnp.round(dx * (1.0 / L))
+            dy = dy - L * jnp.round(dy * (1.0 / L))
+            if mic_z:
+                dz = dz - L * jnp.round(dz * (1.0 / L))
+            r2 = dx * dx + dy * dy + dz * dz
+            mask = r2 < RC2
+            coef, _du, _e, _ddu = lj_pair_terms(r2, mask, True, False)
+            fx = coef * dx
+            fy = coef * dy
+            fz = coef * dz
+            fa[0, isl] += jnp.sum(fx, axis=1)
+            fa[1, isl] += jnp.sum(fy, axis=1)
+            fa[2, isl] += jnp.sum(fz, axis=1)
+            fa[0, jsl] -= jnp.sum(fx, axis=0)
+            fa[1, jsl] -= jnp.sum(fy, axis=0)
+            fa[2, jsl] -= jnp.sum(fz, axis=0)
+
+        def body(t2, c2):
+            one(2 * t2, f_acc)
+            one(2 * t2 + 1, f_acc2)
+            return c2
+
+        jax.lax.fori_loop(0, v // 2, body, 0)
+        r_out[1, :] += (f_acc[1, :] + f_acc2[1, :]) * 1e-9
+        return c
+
+    jax.lax.fori_loop(0, STEPS, step, 0)
+
+
+def run_k4(r8, ti, tj, v, tj_w=512, mic_z=True):
+    kern = functools.partial(k4_kernel, v=v, tj_w=tj_w, mic_z=mic_z)
+    f = pl.pallas_call(
+        kern, in_specs=[smem(), smem(), vmem()],
+        out_specs=vmem(),
+        out_shape=jax.ShapeDtypeStruct((8, N_PAD), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, N_PAD), jnp.float32),
+                        pltpu.VMEM((8, N_PAD), jnp.float32)],
+    )
+    return jax.jit(f), (ti, tj, r8)
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1:] or
+         ["k1-512", "k2b-512", "k2-512", "k3-512", "k1-128", "k2b-128",
+          "k2-128", "trans", "dot"])
+
+
