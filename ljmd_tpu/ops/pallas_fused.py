@@ -579,23 +579,33 @@ def build_tile_lists(
     tile_i: int,
     tile_j: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """Compact the (n_i*n_j,) activity flags into per-category tile-offset
-    lists for ``fused_dense_chunk_list``.
+    """Compact the (n_i*n_j,) 2-bit activity flags into per-category
+    tile-offset lists for ``fused_dense_chunk_list``.
 
-    Returns (tiles (4, n_i*n_j) int32, tcounts (2,) int32): rows 0/1 are the
-    i/j TILE INDICES of the "pure" tiles, rows 2/3 of the "masked" tiles;
-    entries past the counts are zero (never visited)."""
+    Returns (tiles (6, n_i*n_j) int32, tcounts (3,) int32). Row pairs are
+    the i/j TILE INDICES per category:
+      rows 0/1 "pure direct" — no rank/padding masks AND flag bit 1 unset
+        (no wrapped z-image within the window): the kernel skips the z-MIC
+        round() for these (~3 of ~34 FMA-ops per pair);
+      rows 2/3 "pure wrapped" — mask-free but needs the z round;
+      rows 4/5 "masked" — diagonal-crossing / padding tiles (full masks +
+        z round; some are direct-only but the few boundary tiles are not
+        worth a fourth body).
+    Entries past the counts are zero (never visited)."""
     n_i = n_pad // tile_i
     n_j = n_pad // tile_j
-    f2 = (flags > 0).reshape(n_i, n_j)
+    f2 = flags.reshape(n_i, n_j)
+    active2 = f2 > 0
+    zwrap = f2 >= 2
     i_lo = (jnp.arange(n_i) * tile_i)[:, None]
     j_lo = (jnp.arange(n_j) * tile_j)[None, :]
     visited = (j_lo + tile_j - 1) > i_lo  # some gj > gi exists in the tile
     needs_mask = (
         (j_lo < i_lo + tile_i) | (j_lo + tile_j > n) | (i_lo + tile_i > n)
     )
-    active = f2 & visited
-    pure = active & ~needs_mask
+    active = active2 & visited
+    pure_direct = active & ~needs_mask & ~zwrap
+    pure_wrap = active & ~needs_mask & zwrap
     maskd = active & needs_mask
 
     def pack(m):
@@ -609,9 +619,10 @@ def build_tile_lists(
             m.sum().astype(jnp.int32),
         )
 
-    pi, pj, np_ = pack(pure)
+    di, dj, nd = pack(pure_direct)
+    wi, wj, nw = pack(pure_wrap)
     mi, mj, nm = pack(maskd)
-    return jnp.stack([pi, pj, mi, mj]), jnp.stack([np_, nm])
+    return jnp.stack([di, dj, wi, wj, mi, mj]), jnp.stack([nd, nw, nm])
 
 
 def _fused_dense_list_kernel(
@@ -667,8 +678,11 @@ def _fused_dense_list_kernel(
         f_acc[:, :] = jnp.zeros_like(f_acc)
         f_acc2[:, :] = jnp.zeros_like(f_acc2)
 
-        def visit(row, t, masked, fa):
-            """One (i,j) tile visit accumulating into ``fa``."""
+        def visit(row, t, masked, fa, mic_z=True):
+            """One (i,j) tile visit accumulating into ``fa``. ``mic_z=False``
+            skips the z minimum-image round() — valid only for the "pure
+            direct" category (no wrapped z-image within the window, not near
+            a box face; see build_tile_lists/compute_tile_flags)."""
             i_lo = tiles_ref[row, t] * tile_i
             j_lo = tiles_ref[row + 1, t] * tile_j
             isl = pl.ds(i_lo, tile_i)
@@ -693,7 +707,8 @@ def _fused_dense_list_kernel(
                            - rlo_out[2, jsl].reshape(1, tile_j))
             dx = dx - L * jnp.round(dx * inv_l)
             dy = dy - L * jnp.round(dy * inv_l)
-            dz = dz - L * jnp.round(dz * inv_l)
+            if mic_z:
+                dz = dz - L * jnp.round(dz * inv_l)
             r2 = dx * dx + dy * dy + dz * dz
             mask = r2 < rc_square
             if masked:
@@ -724,34 +739,37 @@ def _fused_dense_list_kernel(
         # alternating two scratch buffers lets Mosaic overlap visit t+1's
         # pair math with visit t's accumulation (measured on v5e,
         # scripts/exp_layout.py K4: 951 -> 439 ns/visit at (128,512)).
+        categories = ((0, False, False), (2, False, True), (4, True, True))
         if dual_acc:
-            def make_pair_body(row, masked):
+            def make_pair_body(row, masked, mic_z):
                 def body(t, c2):
-                    visit(row, 2 * t, masked, f_acc)
-                    visit(row, 2 * t + 1, masked, f_acc2)
+                    visit(row, 2 * t, masked, f_acc, mic_z)
+                    visit(row, 2 * t + 1, masked, f_acc2, mic_z)
                     return c2
 
                 return body
 
-            for row, masked in ((0, False), (2, True)):
+            for row, masked, mic_z in categories:
                 cnt = tcounts_ref[row // 2]
-                jax.lax.fori_loop(0, cnt // 2, make_pair_body(row, masked), 0)
+                jax.lax.fori_loop(0, cnt // 2,
+                                  make_pair_body(row, masked, mic_z), 0)
 
                 @pl.when(cnt % 2 == 1)
-                def _odd_tail(row=row, masked=masked, cnt=cnt):
-                    visit(row, cnt - 1, masked, f_acc)
+                def _odd_tail(row=row, masked=masked, mic_z=mic_z, cnt=cnt):
+                    visit(row, cnt - 1, masked, f_acc, mic_z)
 
             a_out[:, :] = 24.0 * (f_acc[:, :] + f_acc2[:, :])
         else:
-            def make_body(row, masked):
+            def make_body(row, masked, mic_z):
                 def body(t, c2):
-                    visit(row, t, masked, f_acc)
+                    visit(row, t, masked, f_acc, mic_z)
                     return c2
 
                 return body
 
-            jax.lax.fori_loop(0, tcounts_ref[0], make_body(0, False), 0)
-            jax.lax.fori_loop(0, tcounts_ref[1], make_body(2, True), 0)
+            for row, masked, mic_z in categories:
+                jax.lax.fori_loop(0, tcounts_ref[row // 2],
+                                  make_body(row, masked, mic_z), 0)
             a_out[:, :] = 24.0 * f_acc[:, :]
         if extended:
             _comp_add(v_out, vc_out, a_out[:, :] * half_dt)

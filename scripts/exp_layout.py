@@ -42,7 +42,36 @@ from ljmd_tpu.ops.pallas_common import lj_pair_terms
 N_PAD = 4096
 L = 16.796
 RC2 = 6.25
+# STEPS * OUTER sets the differential signal size: slope variants differ by
+# (v_hi - v_lo) * STEPS * OUTER visit-executions ~ 96 * 1000 * ~1us. The
+# tunnel fetch jitter is ~2-3ms, so STEPS=50 alone (round-2 value) gave a
+# ~5ms signal — AT the noise floor; K1/K4 numbers measured with it flipped
+# by 2x between runs (the "439ns/visit unroll win" was noise). Raising
+# STEPS to 500 blows up the Mosaic compile (in-kernel trip count scales
+# compile time), so the extra factor comes from OUTER jit-chained calls of
+# the same compiled program (launch glue is identical across variants and
+# cancels in the slope).
 STEPS = 50
+OUTER = 20
+
+
+def chain(pallas_fn, args, r_index, out_index=None):
+    """jit(scan) the compiled program OUTER times, threading args[r_index]
+    through (the position-state array); other operands stay constant."""
+    args = tuple(args)
+
+    @jax.jit
+    def g(*a):
+        def body(r, _):
+            inner = a[:r_index] + (r,) + a[r_index + 1:]
+            out = pallas_fn(*inner)
+            r_next = out if out_index is None else out[out_index]
+            return r_next, None
+
+        r_end, _ = jax.lax.scan(body, a[r_index], None, length=OUTER)
+        return r_end
+
+    return g, args
 
 
 def vmem():
@@ -148,7 +177,7 @@ def run_k1(r8, ti, tj, v, tj_w=512):
         out_shape=jax.ShapeDtypeStruct((8, N_PAD), jnp.float32),
         scratch_shapes=[pltpu.VMEM((8, N_PAD), jnp.float32)],
     )
-    return jax.jit(f), (ti, tj, r8)
+    return chain(f, (ti, tj, r8), r_index=2)
 
 
 # ---------------- K2b: same tiles, transposed i accumulation ----------------
@@ -210,7 +239,7 @@ def run_k2b(r8, rT, ti, tj, v, tj_w=512):
         scratch_shapes=[pltpu.VMEM((8, N_PAD), jnp.float32),
                         pltpu.VMEM((N_PAD, 8), jnp.float32)],
     )
-    return jax.jit(f), (ti, tj, r8, rT)
+    return chain(f, (ti, tj, r8, rT), r_index=2, out_index=0)
 
 
 # ---------------- K2: transposed tile (TJ sub, 128 lanes) ----------------
@@ -272,7 +301,7 @@ def run_k2(r8, rT, ti, tj, v, tj_w=512):
         scratch_shapes=[pltpu.VMEM((8, N_PAD), jnp.float32),
                         pltpu.VMEM((N_PAD, 8), jnp.float32)],
     )
-    return jax.jit(f), (ti, tj, r8, rT)
+    return chain(f, (ti, tj, r8, rT), r_index=2, out_index=0)
 
 
 # ---------------- per-step glue probes (differential over ITERS) --------
@@ -324,7 +353,7 @@ def main(which):
     ti_hi, tj_hi = visit_lists(v_hi, jax.random.fold_in(key, 7))
     ti_lo = ti_hi[:v_lo]
 
-    scale = (v_hi - v_lo) * STEPS
+    scale = (v_hi - v_lo) * STEPS * OUTER
     for tj_w in (512, 128):
         tag = f"{tj_w}"
         tjh = tj_hi % max(1, (N_PAD // tj_w))
@@ -348,6 +377,21 @@ def main(which):
         diff(run_k4(r8, ti_lo, tjh[:v_lo], v_lo, 512),
              run_k4(r8, ti_hi, tjh, v_hi, 512),
              scale, "K4  K1+unroll2+dualacc (512)")
+    if "k6-512" in which:
+        tjh = tj_hi % (N_PAD // 512)
+        diff(run_k6(r8, ti_lo, tjh[:v_lo], v_lo, 512),
+             run_k6(r8, ti_hi, tjh, v_hi, 512),
+             scale, "K6  pure-math ceiling    (512)")
+    if "k5" in which:
+        tjh = tj_hi % (N_PAD // 512)
+        for tail, second, label in (
+            (False, False, "K5a K4+dynamic trip      (512)"),
+            (True, False, "K5b K5a+pl.when tail     (512)"),
+            (True, True, "K5c K5b+masked loop body (512)"),
+        ):
+            diff(run_k5(r8, ti_lo, tjh[:v_lo], v_lo, 512, tail, second),
+                 run_k5(r8, ti_hi, tjh, v_hi, 512, tail, second),
+                 scale, label)
     if "k4z-512" in which:
         tjh = tj_hi % (N_PAD // 512)
         diff(run_k4(r8, ti_lo, tjh[:v_lo], v_lo, 512, mic_z=False),
@@ -359,7 +403,7 @@ def main(which):
              run_k3(r8, rT, ti_hi, tjh, v_hi, 512),
              scale, "K3  K2b+unroll2+dualacc (512)")
 
-    it_lo, it_hi = 64, 512
+    it_lo, it_hi = 64, 512  # transpose probes: un-chained (signal is fine)
     if "trans" in which:
         for shape in ((8, N_PAD), (N_PAD, 8)):
             diff(transpose_cost(shape, it_lo), transpose_cost(shape, it_hi),
@@ -437,9 +481,158 @@ def run_k3(r8, rT, ti, tj, v, tj_w=512):
                         pltpu.VMEM((N_PAD, 8), jnp.float32),
                         pltpu.VMEM((N_PAD, 8), jnp.float32)],
     )
-    return jax.jit(f), (ti, tj, r8, rT)
+    return chain(f, (ti, tj, r8, rT), r_index=2, out_index=0)
 
 
+
+
+# ---------------- K5: K4 + production-structure factors -------------------
+# bench/exp_prodkernel showed the K4 gain INVERTS in the production kernel
+# (mono 939ns -> dual 1150ns/visit). Production differs by: (a) DYNAMIC trip
+# count read from SMEM, (b) a pl.when odd-count tail, (c) a second (masked)
+# loop body doubling code footprint. K5 variants add these one at a time to
+# the winning K4 structure to find the culprit.
+def k5_kernel(cnt_ref, ti_ref, tj_ref, r_in, r_out, f_acc, f_acc2, *,
+              tj_w, tail, second_loop):
+    r_out[:, :] = r_in[:, :]
+
+    def step(s, c):
+        r_out[0, :] += 1e-6
+        f_acc[:, :] = jnp.zeros_like(f_acc)
+        f_acc2[:, :] = jnp.zeros_like(f_acc2)
+
+        def one(t, fa, masked=False):
+            i_lo = ti_ref[t] * 128
+            j_lo = tj_ref[t] * tj_w
+            isl = pl.ds(i_lo, 128)
+            jsl = pl.ds(j_lo, tj_w)
+            xi = r_out[0, isl].reshape(128, 1)
+            yi = r_out[1, isl].reshape(128, 1)
+            zi = r_out[2, isl].reshape(128, 1)
+            xj = r_out[0, jsl].reshape(1, tj_w)
+            yj = r_out[1, jsl].reshape(1, tj_w)
+            zj = r_out[2, jsl].reshape(1, tj_w)
+            dx = xi - xj
+            dy = yi - yj
+            dz = zi - zj
+            dx = dx - L * jnp.round(dx * (1.0 / L))
+            dy = dy - L * jnp.round(dy * (1.0 / L))
+            dz = dz - L * jnp.round(dz * (1.0 / L))
+            r2 = dx * dx + dy * dy + dz * dz
+            mask = r2 < RC2
+            if masked:
+                gi = i_lo + jax.lax.broadcasted_iota(jnp.int32, (128, tj_w), 0)
+                gj = j_lo + jax.lax.broadcasted_iota(jnp.int32, (128, tj_w), 1)
+                mask = mask & (gj > gi) & (gj < N_PAD) & (gi < N_PAD)
+            coef, _du, _e, _ddu = lj_pair_terms(r2, mask, True, False)
+            fx = coef * dx
+            fy = coef * dy
+            fz = coef * dz
+            fa[0, isl] += jnp.sum(fx, axis=1)
+            fa[1, isl] += jnp.sum(fy, axis=1)
+            fa[2, isl] += jnp.sum(fz, axis=1)
+            fa[0, jsl] -= jnp.sum(fx, axis=0)
+            fa[1, jsl] -= jnp.sum(fy, axis=0)
+            fa[2, jsl] -= jnp.sum(fz, axis=0)
+
+        def body(t2, c2):
+            one(2 * t2, f_acc)
+            one(2 * t2 + 1, f_acc2)
+            return c2
+
+        cnt = cnt_ref[0]
+        jax.lax.fori_loop(0, cnt // 2, body, 0)
+        if tail:
+            @pl.when(cnt % 2 == 1)
+            def _():
+                one(cnt - 1, f_acc)
+        if second_loop:
+            def mbody(t2, c2):
+                one(2 * t2, f_acc, masked=True)
+                one(2 * t2 + 1, f_acc2, masked=True)
+                return c2
+
+            cnt2 = cnt_ref[1]
+            jax.lax.fori_loop(0, cnt2 // 2, mbody, 0)
+            if tail:
+                @pl.when(cnt2 % 2 == 1)
+                def _():
+                    one(cnt2 - 1, f_acc, masked=True)
+        r_out[1, :] += (f_acc[1, :] + f_acc2[1, :]) * 1e-9
+        return c
+
+    jax.lax.fori_loop(0, STEPS, step, 0)
+
+
+def run_k5(r8, ti, tj, v, tj_w=512, tail=False, second_loop=False):
+    # counts: all v visits in the main loop; the masked loop runs 0 visits
+    # (its code is present, its trip count is zero) — matching a production
+    # step where the masked list is short.
+    cnt = jnp.array([v, 0], dtype=jnp.int32)
+    kern = functools.partial(k5_kernel, tj_w=tj_w, tail=tail,
+                             second_loop=second_loop)
+    f = pl.pallas_call(
+        kern, in_specs=[smem(), smem(), smem(), vmem()],
+        out_specs=vmem(),
+        out_shape=jax.ShapeDtypeStruct((8, N_PAD), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, N_PAD), jnp.float32),
+                        pltpu.VMEM((8, N_PAD), jnp.float32)],
+    )
+    return chain(f, (cnt, ti, tj, r8), r_index=3)
+
+
+# ---------------- K6: pure-math ceiling probe ------------------------------
+# Same tile loads and pair math as K1, but the per-visit force reduction
+# (6 axis-sums + 6 dynamic-slice RMW) is replaced by an elementwise add into
+# a full-tile VMEM accumulator at a FIXED address — no relayouts, no dynamic
+# stores. The K1-minus-K6 gap is the true reduction/RMW overhead per visit;
+# K6 itself bounds the achievable Gcand/s of this pair body on the VPU.
+def k6_kernel(ti_ref, tj_ref, r_in, r_out, acc, *, v, tj_w):
+    r_out[:, :] = r_in[:, :]
+
+    def step(s, c):
+        r_out[0, :] += 1e-6
+        acc[:, :] = jnp.zeros_like(acc)
+
+        def body(t, c2):
+            i_lo = ti_ref[t] * 128
+            j_lo = tj_ref[t] * tj_w
+            isl = pl.ds(i_lo, 128)
+            jsl = pl.ds(j_lo, tj_w)
+            xi = r_out[0, isl].reshape(128, 1)
+            yi = r_out[1, isl].reshape(128, 1)
+            zi = r_out[2, isl].reshape(128, 1)
+            xj = r_out[0, jsl].reshape(1, tj_w)
+            yj = r_out[1, jsl].reshape(1, tj_w)
+            zj = r_out[2, jsl].reshape(1, tj_w)
+            dx = xi - xj
+            dy = yi - yj
+            dz = zi - zj
+            dx = dx - L * jnp.round(dx * (1.0 / L))
+            dy = dy - L * jnp.round(dy * (1.0 / L))
+            dz = dz - L * jnp.round(dz * (1.0 / L))
+            r2 = dx * dx + dy * dy + dz * dz
+            mask = r2 < RC2
+            coef, _du, _e, _ddu = lj_pair_terms(r2, mask, True, False)
+            acc[:, 0:tj_w] += coef * dx + coef * dy + coef * dz
+            return c2
+
+        jax.lax.fori_loop(0, v, body, 0)
+        r_out[1, :] += acc[1, :] * 1e-9
+        return c
+
+    jax.lax.fori_loop(0, STEPS, step, 0)
+
+
+def run_k6(r8, ti, tj, v, tj_w=512):
+    kern = functools.partial(k6_kernel, v=v, tj_w=tj_w)
+    f = pl.pallas_call(
+        kern, in_specs=[smem(), smem(), vmem()],
+        out_specs=vmem(),
+        out_shape=jax.ShapeDtypeStruct((8, N_PAD), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((128, N_PAD), jnp.float32)],
+    )
+    return chain(f, (ti, tj, r8), r_index=2)
 
 
 # ---------------- K4: K1 layout + 2-way unroll + dual accumulators --------
@@ -504,7 +697,7 @@ def run_k4(r8, ti, tj, v, tj_w=512, mic_z=True):
         scratch_shapes=[pltpu.VMEM((8, N_PAD), jnp.float32),
                         pltpu.VMEM((8, N_PAD), jnp.float32)],
     )
-    return jax.jit(f), (ti, tj, r8)
+    return chain(f, (ti, tj, r8), r_index=2)
 
 
 if __name__ == "__main__":
