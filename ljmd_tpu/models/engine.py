@@ -422,7 +422,8 @@ def _zsort_engine(
     (order-agnostic) triangular sweep, so sampled observables are always
     exact regardless of flag staleness."""
     from ljmd_tpu.ops.pallas_fused import (
-        build_tile_lists,
+        build_window_lists,
+        build_window_lists_pallas,
         compute_tile_flags,
         fused_dense_chunk_list,
         wrap_positions_ext,
@@ -490,12 +491,21 @@ def _zsort_engine(
     # disabled entirely (run_fast=None): drivers fall back to the per-step
     # grid sweep, which is slow but compiles. The pencil engine is the
     # right choice there anyway (auto picks it at n >= 8192).
-    n_tile_pairs = (n_pad // tile_i) * (n_pad // tile_j)
+    # Window lists track z-intervals at tile_i (=128) block granularity, so
+    # the flag/visit arrays scale as (n_pad/tile_i)^2.
+    n_tile_pairs = (n_pad // tile_i) * (n_pad // tile_i)
     fused_viable = n_tile_pairs <= 8192
 
     def _flags(r8):
-        flags = compute_tile_flags(r8, n, tile_i, tile_j, L, window)
-        tiles, tcounts = build_tile_lists(flags, n, n_pad, tile_i, tile_j)
+        flags = compute_tile_flags(r8, n, tile_i, tile_i, L, window)
+        if interpret:
+            tiles, tcounts = build_window_lists(flags, n, n_pad, tile_i, tile_j)
+        else:
+            # One-kernel pack: the jnp builder's non-fusable small ops cost
+            # ~106us/rebuild on v5e (scripts/exp_winlist.py).
+            tiles, tcounts = build_window_lists_pallas(
+                flags, n, n_pad, tile_i, tile_j
+            )
         return flags, tiles, tcounts
 
     def _sort(c_arrays):
@@ -582,7 +592,7 @@ def _zsort_engine(
             r_end, rlo_end, v, vcc, a = fused_dense_chunk_list(
                 c.r, c.v, c.a, c.tiles, c.tcounts, n, L, cfg.rc_square, dt, k,
                 tile_i=tile_i, tile_j=tile_j, interpret=interpret,
-                r_lo=c.rlo, vc=c.vc,
+                r_lo=c.rlo, vc=c.vc, j_granule=tile_i,
             )
             ru = c.ru + ((r_end - c.r) + (rlo_end - c.rlo))
             r_w, rlo_w = wrap_positions_ext(r_end, rlo_end, L)
@@ -592,6 +602,7 @@ def _zsort_engine(
         r_end, v, a = fused_dense_chunk_list(
             c.r, c.v, c.a, c.tiles, c.tcounts, n, L, cfg.rc_square, dt, k,
             tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+            j_granule=tile_i,
         )
         ru = c.ru + (r_end - c.r)
         return dataclasses.replace(
@@ -1064,8 +1075,11 @@ def make_engine(cfg: SimConfig, backend: str = "auto") -> Engine:
             # discrimination (L >> rc; measured 1.34x at N=4000).
             if cfg.n >= 8192 and _cellpair_viable(cfg):
                 return _cellpair_engine(cfg)
-            compensated = cfg.compensated_sum or cfg.dt <= 1.0e-3
-            if not compensated and cfg.box_length > 4.0 * cfg.rc:
+            # Compensated configs (f32 at dt <= 1e-3, the reference's own
+            # default regime) keep the fused path too: the list kernel's
+            # extended two-float mode (round-3) replaced the old fallback
+            # to the per-step rows sweep.
+            if cfg.box_length > 4.0 * cfg.rc:
                 try:
                     return _zsort_engine(cfg)
                 except ValueError:

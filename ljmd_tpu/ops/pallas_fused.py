@@ -51,6 +51,8 @@ from ljmd_tpu.ops.pallas_common import lj_pair_terms
 __all__ = [
     "MAX_CHUNK_STEPS",
     "build_tile_lists",
+    "build_window_lists",
+    "build_window_lists_pallas",
     "compute_tile_flags",
     "fused_dense_chunk",
     "fused_dense_chunk_ext",
@@ -625,9 +627,237 @@ def build_tile_lists(
     return jnp.stack([di, dj, wi, wj, mi, mj]), jnp.stack([nd, nw, nm])
 
 
+def _window_max_t(n_pad: int, tile_i: int, tile_j: int) -> int:
+    """Visit-list capacity: emissions within a row are >= span blocks apart
+    (stride within a cluster; the next cluster starts >= span past the
+    previous cluster's last active block), so a row holds at most
+    ceil(n_b/span) visits."""
+    span = tile_j // tile_i
+    n_b = n_pad // tile_i
+    return (n_pad // tile_i) * (-(-n_b // span))
+
+
+def _pack_window_kernel(
+    bounds_ref,  # SMEM (2,) int32: [n_i, n_b] as DYNAMIC loop bounds
+    flags_ref,   # SMEM (n_i*n_b,) int32
+    tiles_ref,   # SMEM (7, max_t) int32 out
+    tcounts_ref,  # SMEM (3,) int32 out
+    *,
+    n: int,
+    tile_i: int,
+    tile_j: int,
+    max_t: int,
+):
+    """Scalar-core greedy cover + pack in ONE kernel launch. The jnp
+    builder's ~20 non-fusable ops (cummax/scatter/nonzero/gathers) cost
+    ~106us per rebuild on v5e (measured, scripts/exp_winlist.py) — pure
+    per-op overhead on tiny arrays. This is the same computation as a
+    single sequential loop (~10us). Loop bounds come from SMEM so Mosaic
+    treats them as dynamic and does not unroll the nested loops."""
+    g = tile_i
+    span = tile_j // g
+    n_b_dyn = bounds_ref[1]
+    max_start = n_b_dyn - span
+
+    for c in range(3):
+        tcounts_ref[c] = 0
+
+    def zero_body(k, carry):
+        for rr in range(7):
+            tiles_ref[rr, k] = 0
+        return carry
+
+    jax.lax.fori_loop(0, bounds_ref[0] * 0 + max_t, zero_body, 0)
+
+    def row_body(row, carry):
+        def blk(b, covered):
+            f = flags_ref[row * n_b_dyn + b]
+            trig = (f > 0) & (b >= row) & (b >= covered)
+
+            @pl.when(trig)
+            def _emit():
+                s = jnp.minimum(b, max_start)
+                zneed = f >= 2
+                for k in range(1, span):
+                    cb = b + k
+                    fz = flags_ref[row * n_b_dyn + jnp.minimum(cb, n_b_dyn - 1)]
+                    zneed = zneed | ((cb < n_b_dyn) & (fz >= 2))
+                needs_mask = (
+                    (s * g < row * tile_i + tile_i)
+                    | (s * g + tile_j > n)
+                    | (row * tile_i + tile_i > n)
+                    | (b > s)
+                )
+                cat = jnp.where(needs_mask, 2, jnp.where(zneed, 1, 0))
+                k0 = tcounts_ref[cat]
+                tiles_ref[2 * cat, k0] = row
+                tiles_ref[2 * cat + 1, k0] = s
+
+                @pl.when(needs_mask & (b > s))
+                def _jmin():
+                    tiles_ref[6, k0] = b
+
+                tcounts_ref[cat] = k0 + 1
+
+            return jnp.where(trig, b + span, covered)
+
+        jax.lax.fori_loop(0, n_b_dyn, blk, 0)
+        return carry
+
+    jax.lax.fori_loop(0, bounds_ref[0], row_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "n_pad", "tile_i", "tile_j", "interpret"),
+)
+def build_window_lists_pallas(
+    flags: jax.Array,
+    n: int,
+    n_pad: int,
+    tile_i: int,
+    tile_j: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """``build_window_lists`` as one Pallas kernel (same contract; the two
+    are parity-tested against each other). Use on TPU where the jnp
+    version's per-op dispatch overhead dominates the rebuild."""
+    n_i = n_pad // tile_i
+    n_b = n_pad // tile_i
+    max_t = _window_max_t(n_pad, tile_i, tile_j)
+    kernel = functools.partial(
+        _pack_window_kernel, n=n, tile_i=tile_i, tile_j=tile_j, max_t=max_t
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    bounds = jnp.array([n_i, n_b], dtype=jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[smem, smem],
+        out_specs=[smem, smem],
+        out_shape=[
+            jax.ShapeDtypeStruct((7, max_t), jnp.int32),
+            jax.ShapeDtypeStruct((3,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(bounds, flags.astype(jnp.int32))
+
+
+def build_window_lists(
+    flags: jax.Array,
+    n: int,
+    n_pad: int,
+    tile_i: int,
+    tile_j: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Greedy run-cover visit lists at ``tile_i``-granular j starts.
+
+    ``build_tile_lists`` places the ``tile_j``-wide visits on a
+    tile_j-ALIGNED grid, so covering an i-tile's z-window of ~W columns
+    costs up to W + 2*tile_j candidates of quantization slack. This builder
+    instead takes flags computed at (tile_i, tile_i) block granularity
+    (``compute_tile_flags(..., tile_j=tile_i)``) and places each
+    tile_j-wide visit at a tile_i-aligned start: per i-row, scan the active
+    blocks left to right and emit a visit at the first uncovered one
+    (covering span = tile_j/tile_i blocks), which tracks the z-window of
+    the z-SORTED layout almost exactly (slack < tile_j per row instead of
+    per run end AND start). At the flagship N=4000 geometry this cuts
+    candidate slots ~6.8M -> ~4.5M and visits ~102 -> ~66.
+
+    Starts are clamped to n_pad - tile_j so slices stay in bounds; a
+    clamped visit keeps ``jmin`` = the original block index and the kernel
+    masks gj >= jmin*tile_i, excluding the slice prefix that an earlier
+    visit of the same row may already cover (no pair is ever double
+    counted). Blocks strictly below the diagonal block never trigger a
+    visit (their pairs belong to the transposed row).
+
+    Returns (tiles (7, n_i*n_b) int32, tcounts (3,) int32): row pairs 0/1,
+    2/3, 4/5 are the i/j BLOCK indices (j in tile_i units) of the
+    pure-direct / pure-wrapped / masked visits as in ``build_tile_lists``;
+    row 6 is the masked category's jmin block index (0 for the pure rows
+    and for ordinary masked visits). Entries past the counts are zero."""
+    g = tile_i
+    span = tile_j // g
+    n_i = n_pad // tile_i
+    n_b = n_pad // g
+    f2 = flags.reshape(n_i, n_b)
+    it = jnp.arange(n_i)[:, None]
+    b_idx = jnp.arange(n_b)[None, :]
+    # Active blocks at/above the diagonal block trigger coverage (the
+    # diagonal block itself is always active: zero self-gap).
+    trigger = (f2 > 0) & (b_idx >= it)
+    max_start = n_b - span
+
+    # Closed-form cover (a sequential greedy scan over blocks costs ~3us
+    # of op LATENCY per step on TPU — ~96us per rebuild, measured): group
+    # active blocks into clusters (consecutive active blocks < span
+    # apart), emit visits on the stride-span grid anchored at each
+    # cluster's first block. Cluster coverage never reaches the next
+    # cluster (its last emission is at an active block, and the next
+    # cluster starts >= span after that), so visits of different clusters
+    # are disjoint; stride positions within a cluster are disjoint by
+    # construction — every active block is covered exactly once.
+    behind = [
+        jnp.pad(trigger, ((0, 0), (k, 0)))[:, :n_b]
+        for k in range(1, span)
+    ]
+    cstart = trigger & ~jnp.stack(behind).any(axis=0)
+    # most recent cluster start at/below b (valid wherever trigger holds)
+    scs = jax.lax.cummax(jnp.where(cstart, b_idx, -1), axis=1)
+    ep = b_idx - jnp.where(trigger, (b_idx - scs) % span, 0)
+    ep = jnp.clip(ep, 0, n_b - 1)
+    rows2d = jnp.broadcast_to(it, (n_i, n_b))
+    emit = (
+        jnp.zeros((n_i, n_b), bool).at[rows2d, ep].max(trigger)
+    )                                                   # (n_i, n_b) at ORIG b
+    starts = jnp.minimum(b_idx, max_start) * jnp.ones((n_i, 1), jnp.int32)
+    origs = b_idx * jnp.ones((n_i, 1), jnp.int32)
+
+    # Effective coverage of an emission at b is [b, min(b+span, n_b)) (the
+    # jmin mask excludes [start, b)); a visit needs the z-MIC round iff any
+    # covered block has the wrap bit.
+    zz = f2 >= 2
+    zzp = jnp.concatenate(
+        [zz, jnp.zeros((n_i, span - 1), dtype=zz.dtype)], axis=1
+    )
+    zneed = jnp.stack(
+        [zzp[:, k:k + n_b] for k in range(span)], axis=0
+    ).any(axis=0)
+
+    i_lo = it * tile_i
+    s_lo = starts * g
+    needs_mask = (
+        (s_lo < i_lo + tile_i)          # diagonal inside the slice
+        | (s_lo + tile_j > n)           # padding columns inside the slice
+        | (i_lo + tile_i > n)           # padding rows
+        | (origs > starts)              # clamped: jmin prefix mask active
+    )
+    maskd = emit & needs_mask
+    pure_direct = emit & ~needs_mask & ~zneed
+    pure_wrap = emit & ~needs_mask & zneed
+
+    max_t = _window_max_t(n_pad, tile_i, tile_j)
+
+    def pack(m, *vals):
+        idx = jnp.nonzero(m.ravel(), size=max_t, fill_value=0)[0]
+        packed = tuple(v.ravel()[idx].astype(jnp.int32) for v in vals)
+        return packed + (m.sum().astype(jnp.int32),)
+
+    rows = jnp.broadcast_to(it, (n_i, n_b))
+    di, dj, nd = pack(pure_direct, rows, starts)
+    wi, wj, nw = pack(pure_wrap, rows, starts)
+    mi, mj, mjmin, nm = pack(maskd, rows, starts, origs)
+    # A clamped visit's jmin prefix is pure slack; zero jmin (== "no
+    # prefix mask") for unclamped masked visits keeps the mask a no-op.
+    mjmin = jnp.where(mjmin > mj, mjmin, 0)
+    return (
+        jnp.stack([di, dj, wi, wj, mi, mj, mjmin]),
+        jnp.stack([nd, nw, nm]),
+    )
+
+
 def _fused_dense_list_kernel(
-    tcounts_ref,  # SMEM (2,) int32: [n_pure, n_masked]
-    tiles_ref,    # SMEM (4, max_t) int32: i/j offsets per category
+    tcounts_ref,  # SMEM (3,) int32: [n_pure_direct, n_pure_wrapped, n_masked]
+    tiles_ref,    # SMEM (6 or 7, max_t) int32: i/j block indices per category
     *args,        # ins (3 or 5), outs (3 or 5), f_acc scratch
     n: int,
     tile_i: int,
@@ -640,7 +870,10 @@ def _fused_dense_list_kernel(
     approx_reciprocal: bool,
     extended: bool = False,
     dual_acc: bool = True,
+    j_granule: int | None = None,
 ):
+    jg = tile_j if j_granule is None else j_granule
+    has_jmin = j_granule is not None
     n_state = 5 if extended else 3
     ins = args[:n_state]
     outs = args[n_state:2 * n_state]
@@ -684,7 +917,7 @@ def _fused_dense_list_kernel(
             direct" category (no wrapped z-image within the window, not near
             a box face; see build_tile_lists/compute_tile_flags)."""
             i_lo = tiles_ref[row, t] * tile_i
-            j_lo = tiles_ref[row + 1, t] * tile_j
+            j_lo = tiles_ref[row + 1, t] * jg
             isl = pl.ds(i_lo, tile_i)
             jsl = pl.ds(j_lo, tile_j)
             xi = r_out[0, isl].reshape(tile_i, 1)
@@ -721,6 +954,11 @@ def _fused_dense_list_kernel(
                     jnp.int32, (tile_i, tile_j), 1
                 )
                 mask = mask & (gj > gi) & (gj < n) & (gi < n)
+                if has_jmin:
+                    # Window-list clamped visits: exclude the slice prefix
+                    # already covered by an earlier visit of this i-row
+                    # (jmin == 0 for ordinary masked visits -> no-op).
+                    mask = mask & (gj >= tiles_ref[6, t] * jg)
             coef, _du, _e, _ddu = lj_pair_terms(
                 r2, mask, approx_reciprocal, want_observables=False
             )
@@ -793,6 +1031,7 @@ def _fused_dense_list_kernel(
         "interpret",
         "approx_reciprocal",
         "dual_acc",
+        "j_granule",
     ),
 )
 def fused_dense_chunk_list(
@@ -813,6 +1052,7 @@ def fused_dense_chunk_list(
     r_lo: jax.Array | None = None,
     vc: jax.Array | None = None,
     dual_acc: bool = True,
+    j_granule: int | None = None,
 ) -> tuple[jax.Array, ...]:
     """``fused_dense_chunk_flags`` with the active tiles given as a compact
     LIST (from ``build_tile_lists``) instead of a per-tile flag sweep —
@@ -820,7 +1060,11 @@ def fused_dense_chunk_list(
     Same contracts as ``fused_dense_chunk``: no wrap inside the chunk,
     outputs (r, v, a), ``a`` 24-prefactored. Passing ``r_lo``/``vc`` enables
     the extended two-float-precision mode (fused_dense_chunk_ext semantics);
-    the return is then (r, r_lo, v, vc, a)."""
+    the return is then (r, r_lo, v, vc, a).
+
+    ``j_granule``: j entries of ``tiles`` are in units of this many columns
+    (from ``build_window_lists``; tiles then has the extra jmin row 6 and
+    starts are tile_i-granular). None = tile_j units (build_tile_lists)."""
     if n_steps > MAX_CHUNK_STEPS:
         raise ValueError(f"n_steps={n_steps} exceeds MAX_CHUNK_STEPS={MAX_CHUNK_STEPS}")
     extended = r_lo is not None
@@ -838,6 +1082,7 @@ def fused_dense_chunk_list(
         approx_reciprocal=approx_reciprocal and not interpret,
         extended=extended,
         dual_acc=dual_acc,
+        j_granule=j_granule,
     )
     n_state = 5 if extended else 3
     out_shape = [jax.ShapeDtypeStruct((8, n_pad), r.dtype)] * n_state

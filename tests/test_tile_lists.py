@@ -85,3 +85,119 @@ def test_pure_tiles_need_no_masks_and_direct_skips_z():
                 assert f2[it, jt] == 1        # direct-only: no wrapped image
             else:
                 assert f2[it, jt] >= 2
+
+
+# ---------------- build_window_lists ----------------------------------------
+from ljmd_tpu.ops.pallas_fused import build_window_lists  # noqa: E402
+
+
+def _window_cover_oracle(flags, n, n_pad, tile_i, tile_j, builder=None):
+    """Simulate the visit lists: which (i_row, column) pairs does the kernel
+    evaluate un-masked-out, per category? Returns a (n_i, n_pad) int count
+    of effective coverage (after gj>gi / gj<n / jmin masks) plus the visit
+    metadata for category checks."""
+    g = tile_i
+    n_i, n_b = n_pad // tile_i, n_pad // g
+    builder = builder or build_window_lists
+    tiles, tcounts = builder(flags, n, n_pad, tile_i, tile_j)
+    tiles = np.asarray(tiles)
+    nd, nw, nm = (int(x) for x in np.asarray(tcounts))
+    cover = np.zeros((n_i, n_pad), dtype=int)
+    visits = []
+    for row, cnt, cat in ((0, nd, "direct"), (2, nw, "wrapped"), (4, nm, "masked")):
+        for k in range(cnt):
+            it, sb = int(tiles[row, k]), int(tiles[row + 1, k])
+            j_lo = sb * g
+            assert j_lo + tile_j <= n_pad, "slice out of bounds"
+            i_lo = it * tile_i
+            jmin = int(tiles[6, k]) * g if cat == "masked" else 0
+            cols = np.arange(j_lo, j_lo + tile_j)
+            if cat == "masked":
+                keep = (cols >= jmin) & (cols < n)
+                # the gj > gi mask varies per i inside the tile; coverage
+                # accounting below uses block granularity, so just record
+                # the un-prefix-masked columns; the per-pair diag mask is
+                # the kernel's, tested via engine parity.
+                cover[it, cols[keep]] += 1
+            else:
+                # pure visits have no masks: every column must be fully
+                # above the diagonal and below n
+                assert j_lo >= i_lo + tile_i
+                assert j_lo + tile_j <= n
+                cover[it, cols] += 1
+            visits.append((cat, it, sb, jmin))
+    return cover, visits, (nd, nw, nm)
+
+
+def test_window_lists_cover_active_blocks_exactly_once():
+    """Every active block at/above the diagonal block is covered exactly
+    once; no column is double-covered (jmin dedup on clamped visits); no
+    slice leaves [0, n_pad)."""
+    rng = np.random.default_rng(7)
+    for n, n_pad, ti, tj in ((4000, 4096, 128, 512), (500, 512, 128, 512),
+                             (2048, 2048, 128, 512)):
+        n_i, n_b = n_pad // ti, n_pad // ti
+        flags = jnp.asarray(
+            rng.integers(0, 4, size=(n_i * n_b,)).astype(np.int32)
+        )
+        cover, visits, _ = _window_cover_oracle(flags, n, n_pad, ti, tj)
+        f2 = np.asarray(flags).reshape(n_i, n_b)
+        for it in range(n_i):
+            for b in range(n_b):
+                cols = slice(b * ti, (b + 1) * ti)
+                cnt = cover[it, cols]
+                assert cnt.max() <= 1, (it, b, "double cover")
+                if f2[it, b] > 0 and b >= it and b * ti < n:
+                    # active above-diagonal block: the kernel must evaluate
+                    # its real columns exactly once
+                    real = np.arange(b * ti, min((b + 1) * ti, n))
+                    assert (cover[it, real] == 1).all(), (it, b, "missed")
+
+
+def test_window_lists_categories():
+    """Pure-direct visits cover no wrap-bit block; any visit whose span
+    holds a wrap-bit active block is wrapped or masked (the kernel's z-MIC
+    round stays on for it)."""
+    rng = np.random.default_rng(3)
+    n, n_pad, ti, tj = 4000, 4096, 128, 512
+    n_i = n_pad // ti
+    flags = jnp.asarray(rng.integers(0, 4, size=(n_i * n_i,)).astype(np.int32))
+    _, visits, (nd, nw, nm) = _window_cover_oracle(flags, n, n_pad, ti, tj)
+    f2 = np.asarray(flags).reshape(n_i, n_i)
+    assert nd > 0 and nw > 0 and nm > 0
+    span = tj // ti
+    for cat, it, sb, jmin in visits:
+        if cat == "direct":
+            blocks = f2[it, sb:sb + span]
+            assert (blocks < 2).all(), (it, sb, "wrap block in direct visit")
+
+
+def test_window_lists_pallas_kernel_matches_oracle():
+    """The one-kernel scalar pack obeys the same exactly-once coverage
+    contract as the jnp builder (the two may place visits differently on
+    pathological random flags; both must cover every active block once)."""
+    import functools
+    from ljmd_tpu.ops.pallas_fused import build_window_lists_pallas
+
+    builder = functools.partial(build_window_lists_pallas, interpret=True)
+    rng = np.random.default_rng(11)
+    for n, n_pad, ti, tj in ((4000, 4096, 128, 512), (500, 512, 128, 512)):
+        n_i = n_pad // ti
+        flags = jnp.asarray(
+            rng.integers(0, 4, size=(n_i * n_i,)).astype(np.int32)
+        )
+        cover, visits, counts = _window_cover_oracle(
+            flags, n, n_pad, ti, tj, builder=builder
+        )
+        f2 = np.asarray(flags).reshape(n_i, n_i)
+        for it in range(n_i):
+            for b in range(n_i):
+                cols = slice(b * ti, (b + 1) * ti)
+                assert cover[it, cols].max() <= 1
+                if f2[it, b] > 0 and b >= it and b * ti < n:
+                    real = np.arange(b * ti, min((b + 1) * ti, n))
+                    assert (cover[it, real] == 1).all(), (it, b)
+        span = tj // ti
+        for cat, it, sb, jmin in visits:
+            if cat == "direct":
+                assert (f2[it, sb:sb + span] < 2).all()
