@@ -406,21 +406,31 @@ def _zsort_engine(
     sort_skin: float = 0.7,
     inner_chunk: int = 8,
     tile_i: int = 128,
-    tile_j: int = 512,
+    tile_j: int = 384,
     extended: bool | None = None,
+    slab_sort: bool | None = None,
+    n_pad: int | None = None,
 ) -> Engine:
-    """Dense fused engine with z-sorted tile skipping.
+    """Dense fused engine with sorted tile skipping.
 
-    Particles are kept in ascending-z column order; the fused multi-step
-    kernel gates each (i-tile, j-tile) pair on precomputed z-interval
-    overlap flags (window rc + sort_skin), skipping the ~50% of tile pairs
-    (at N~4000 geometry) whose columns cannot interact. The order and flags
-    refresh when any particle has moved sort_skin/4 from the sort-time
-    positions (checked every ``inner_chunk`` steps between fused kernels); a
-    particle exceeding sort_skin/2 between checks sets the sticky
-    ``invalid`` diagnostic. Per-step ``step``/``step_fast`` use the plain
-    (order-agnostic) triangular sweep, so sampled observables are always
-    exact regardless of flag staleness."""
+    Particles are kept in sorted column order — ascending z, or, with
+    ``slab_sort``, lexicographic (x-slab, z) where the box is cut into
+    floor(L / window) x-slabs of width >= window — and the fused multi-step
+    kernel gates each (i-tile, j-tile) pair on precomputed per-axis
+    interval overlap flags (window rc + 1.2*sort_skin), skipping tile
+    pairs whose columns cannot interact. Slab sorting adds x
+    discrimination (tiles in non-adjacent slabs are skipped) at the cost
+    of coarser z-intervals per block; it pays once the per-slab z-window
+    spans many j-tiles (large n), and loses at small n where the
+    per-visit floor dominates (``slab_sort=None`` picks by n). The order
+    and flags refresh when any particle has moved sort_skin/4 along a
+    SORTED axis since the sort (checked every ``inner_chunk`` steps
+    between fused kernels); a particle exceeding 0.6*sort_skin between
+    checks sets the sticky ``invalid`` diagnostic (the flag window's
+    exact validity bound — see the margin note below). Per-step
+    ``step``/``step_fast`` use the plain (order-agnostic) triangular
+    sweep, so sampled observables are always exact regardless of flag
+    staleness."""
     from ljmd_tpu.ops.pallas_fused import (
         build_window_lists,
         build_window_lists_pallas,
@@ -445,20 +455,43 @@ def _zsort_engine(
             interpret = True
 
     n = cfg.n
-    n_pad = _round_up(n, max(tile_i, tile_j, 128))
+    # 128-granular padding (the window lists place tile_j-wide visits at
+    # tile_i-aligned starts, so n_pad need not be a tile_j multiple — it
+    # only has to FIT one visit).
+    if n_pad is None:
+        n_pad = max(_round_up(n, max(tile_i, 128)), tile_j)
+    elif n_pad % max(tile_i, 128) or n_pad < max(n, tile_j):
+        raise ValueError("n_pad must be a tile multiple covering n")
     L = cfg.box_length
     dtype = _effective_dtype(cfg)
     # Clamp the sort skin so the flag window respects MIC (window < L/2);
     # tiny boxes leave no room for z discrimination -> use the rows engine.
-    sort_skin = min(sort_skin, 0.49 * L - cfg.rc)
+    sort_skin = min(sort_skin, (0.49 * L - cfg.rc) / 1.2)
     if sort_skin < 0.15:
         raise ValueError(
             "box too small for z-sorted tile skipping (rc ~ L/2); "
             "use the 'pallas' rows engine"
         )
-    window = cfg.rc + sort_skin
+    # Flag window carries a 1.2x skin margin over the resort trigger: the
+    # flags stay valid up to 0.6*skin per-axis displacement (the invalid
+    # bound), while resorts fire at 0.25*skin — a particle would need a
+    # SUSTAINED speed of ~0.35*skin / (inner_chunk*dt) (~6 sigma/tau at
+    # the default liquid point) to cross the gap within one check
+    # interval. Without the margin the bound sat exactly at skin/2 and a
+    # ~4.4 sigma/tau particle could trip 'invalid' on long runs
+    # (observed: 1 in ~5e7 particle-steps at N=4000, dt=0.005).
+    window = cfg.rc + 1.2 * sort_skin
     resort_thresh = (0.25 * sort_skin) ** 2
-    invalid_thresh = (0.5 * sort_skin) ** 2
+    invalid_thresh = (0.6 * sort_skin) ** 2
+    # (x-slab, z) mode: needs >= 5 slabs for the x test to exclude anything
+    # beyond trivial geometry, and a large enough n that each slab's
+    # z-window spans multiple j-tiles (below that, 3 clusters/row force
+    # MORE visits than one contiguous z run — the per-visit floor wins).
+    n_slabs = int(L / window)
+    if slab_sort is None:
+        slab_sort = n_slabs >= 5 and n >= 8192
+    if slab_sort and n_slabs < 5:
+        raise ValueError("slab_sort needs >= 5 x-slabs of width rc+skin")
 
     e_t, d_t, dd_t = (
         tail_corrections(n, cfg.volume, cfg.rc)
@@ -467,11 +500,15 @@ def _zsort_engine(
     )
     row_mask = jnp.zeros((8, 1), dtype).at[0:3].set(1.0)
 
+    # The grid sweep's j-tile must DIVIDE n_pad (its grid floor-divides, so
+    # a non-divisor would silently drop trailing columns): pick the largest
+    # power-of-two-ish divisor.
+    sweep_tj = next(t for t in (1024, 512, 384, 256, 128) if n_pad % t == 0)
+
     def sweep(pos, want_obs=True):
         # Order-agnostic triangular sweep (exact for any column order).
         return pallas_pair_sweep_tri(
-            pos, n, L, cfg.rc_square, tile_i=128,
-            tile_j=1024 if n_pad >= 1024 else 128,
+            pos, n, L, cfg.rc_square, tile_i=128, tile_j=sweep_tj,
             interpret=interpret, want_observables=want_obs,
             approx_reciprocal=True,
         )
@@ -484,20 +521,23 @@ def _zsort_engine(
             dd_epot=24.0 * jnp.sum(out[5]) + jnp.asarray(dd_t, dtype),
         )
 
-    # The list kernel's SMEM tile arrays scale as O(n_i * n_j); past a few
-    # thousand entries they crowd SMEM — and the alternative (the flags
-    # kernel, with one statically-unrolled region per tile pair) is a
-    # COMPILE bomb at that scale. Past the threshold the fused path is
-    # disabled entirely (run_fast=None): drivers fall back to the per-step
-    # grid sweep, which is slow but compiles. The pencil engine is the
-    # right choice there anyway (auto picks it at n >= 8192).
-    # Window lists track z-intervals at tile_i (=128) block granularity, so
-    # the flag/visit arrays scale as (n_pad/tile_i)^2.
+    # The list kernel's SMEM tile arrays scale as O(n_i * n_b); past the
+    # threshold the fused path is disabled entirely (run_fast=None):
+    # drivers fall back to the per-step grid sweep, which is slow but
+    # compiles. The pencil engine is the right choice there anyway.
+    # Window lists track intervals at tile_i (=128) block granularity, so
+    # the flag/visit arrays scale as (n_pad/tile_i)^2: at n_pad=16384 the
+    # pack kernel's SMEM holds 64 KiB of flags + a (9, 4096) visit list
+    # (144 KiB) — measured fine on v5e; 32768 block pairs is the cliff.
     n_tile_pairs = (n_pad // tile_i) * (n_pad // tile_i)
-    fused_viable = n_tile_pairs <= 8192
+    fused_viable = n_tile_pairs <= 32768
 
     def _flags(r8):
-        flags = compute_tile_flags(r8, n, tile_i, tile_i, L, window)
+        flags = compute_tile_flags(
+            r8, n, tile_i, tile_i, L, window,
+            x_window=window if slab_sort else None,
+            cross_margin=0.6 * sort_skin,
+        )
         if interpret:
             tiles, tcounts = build_window_lists(flags, n, n_pad, tile_i, tile_j)
         else:
@@ -510,7 +550,22 @@ def _zsort_engine(
 
     def _sort(c_arrays):
         r8, ru8, v8, a8, ids, rlo, vcc = c_arrays
-        key = jnp.where(ids >= 0, r8[2], jnp.asarray(jnp.inf, dtype))
+        if slab_sort:
+            # Composite int key: (x-slab, quantized z) lexicographic. The
+            # z quantization (2^20 buckets) only affects tie order within
+            # 1e-6 L — interval tightness, never correctness (flags are
+            # computed from the true coordinates).
+            zq = jnp.clip(
+                (r8[2] * ((1 << 20) / L)).astype(jnp.int32), 0, (1 << 20) - 1
+            )
+            xb = jnp.clip(
+                (r8[0] * (n_slabs / L)).astype(jnp.int32), 0, n_slabs - 1
+            )
+            key = jnp.where(
+                ids >= 0, xb * (1 << 20) + zq, jnp.iinfo(jnp.int32).max
+            )
+        else:
+            key = jnp.where(ids >= 0, r8[2], jnp.asarray(jnp.inf, dtype))
         order = jnp.argsort(key)
         return (r8[:, order], ru8[:, order], v8[:, order], a8[:, order],
                 ids[order], rlo[:, order], vcc[:, order])
@@ -564,9 +619,17 @@ def _zsort_engine(
         return carry, obs_from(out, ekin)
 
     def _maybe_resort(c: ZSortCarry) -> ZSortCarry:
+        # Flag staleness is PER-AXIS: the interval windows are separable,
+        # and only displacement along a sorted axis (z; x too in slab
+        # mode) can push a pair's axis gap past its window. Ignoring the
+        # unsorted axes both tightens correctness accounting and roughly
+        # halves the resort cadence vs the 3D-norm criterion.
         d = minimum_image(c.r[0:3] - c.r_ref[0:3], L)
         valid = (c.ids >= 0).astype(dtype)
-        moved2 = jnp.max(jnp.sum(d * d, axis=0) * valid)
+        dz2 = d[2] * d[2]
+        moved2 = jnp.max(
+            (jnp.maximum(d[0] * d[0], dz2) if slab_sort else dz2) * valid
+        )
         invalid = c.invalid | (moved2 > invalid_thresh)
 
         def do(c):
@@ -1068,17 +1131,25 @@ def make_engine(cfg: SimConfig, backend: str = "auto") -> Engine:
         if on_tpu:
             # Measured on v5e: XLA's dynamic gathers make the jnp neighbor
             # path ~5x SLOWER than the dense Pallas sweep at N=4000, so on
-            # TPU the dense tiled kernel is the small/mid-N choice and the
-            # structured pencil sweep takes over once the O(N * 9 * cap)
-            # work undercuts O(N^2). In between, the z-sorted tile-skip
-            # fused engine wins when the box leaves room for z
-            # discrimination (L >> rc; measured 1.34x at N=4000).
+            # TPU the sorted window-list fused engine is the small/mid-N
+            # choice — pure z order below n=8192, (x-slab, z) lexicographic
+            # above (measured N=16384: 4.49e7 vs the pencil's 2.6e7
+            # same-state ps/s) — and the structured pencil sweep takes over
+            # past the window-list SMEM cliff (n ~ 23k), where O(N*9*cap)
+            # work undercuts the z-window's O(N^2 * w/L).
+            n_pad128 = -(-cfg.n // 128) * 128
+            zsort_viable = (n_pad128 // 128) ** 2 <= 32768
+            if zsort_viable and cfg.box_length > 4.0 * cfg.rc:
+                # Compensated configs (f32 at dt <= 1e-3, the reference's
+                # own default regime) keep the fused path too: the list
+                # kernel's extended two-float mode (round-3) replaced the
+                # old fallback to the per-step rows sweep.
+                try:
+                    return _zsort_engine(cfg)
+                except ValueError:
+                    pass
             if cfg.n >= 8192 and _cellpair_viable(cfg):
                 return _cellpair_engine(cfg)
-            # Compensated configs (f32 at dt <= 1e-3, the reference's own
-            # default regime) keep the fused path too: the list kernel's
-            # extended two-float mode (round-3) replaced the old fallback
-            # to the per-step rows sweep.
             if cfg.box_length > 4.0 * cfg.rc:
                 try:
                     return _zsort_engine(cfg)

@@ -274,63 +274,97 @@ def compute_tile_flags(
     box_length: float,
     window: float,
     face_margin: float | None = None,
+    x_window: float | None = None,
+    cross_margin: float | None = None,
 ) -> jax.Array:
-    """(n_i * n_j,) int32 tile-pair activity flags for the z-SORTED layout.
+    """(n_i * n_j,) int32 tile-pair activity flags for a SORTED layout.
 
-    Tile (it, jt) is active iff the circular distance between the z-interval
-    of its real i columns and that of its real j columns is below ``window``
-    (= rc + sort skin). Columns >= n (padding, sorted last) are excluded;
-    all-padding tiles are inactive. Valid while no particle has moved more
-    than window - rc ... /2 from the sort-time positions (the engine tracks
-    this via its r_ref displacement check).
-    """
+    Bit encoding (0 = inactive tile, never visited):
+      bit 0 (1): active — the i/j column sets can hold a pair within range
+      bit 1 (2): the z minimum-image round() is required for this tile
+      bit 2 (4): the x minimum-image round() is required for this tile
+
+    A tile pair is active iff, on EVERY tested axis, the circular distance
+    between the i columns' coordinate interval and the j columns' interval
+    is below the axis window (rc + sort skin). With the default
+    ``x_window=None`` only z is tested (pure z-sorted layout) and bit 2 is
+    set on every active tile (x order carries no information). Passing
+    ``x_window`` adds the x-axis test — meaningful when the layout is
+    (x-slab, z) lexicographically sorted so block x-intervals are compact.
+    Columns >= n (padding, sorted last) are excluded; all-padding tiles are
+    inactive. Valid while no particle has moved more than
+    (window - rc)/2 from the sort-time positions (the engine tracks this
+    via its r_ref displacement check).
+
+    Round()-requirement per axis: a wrapped-image overlap obviously needs
+    it. Additionally, a particle wrapping across a face between chunks
+    jumps its RAW coordinate by L while physically moving epsilon, so a
+    direct-overlap pair near a face would silently lose pairs without the
+    round. The pair needs the round iff one side could CROSS a face before
+    the next resort (interval within ``cross_margin`` — the engine's
+    invalid-detection displacement bound, sort_skin/2) while the other side
+    is within interaction range (``face_margin``, default = window) of the
+    SAME face. Pairs that fail this test either keep a no-op round
+    (|d| < L/2 throughout) or are beyond rc under both readings."""
     n_pad = r.shape[1]
-    n_i = n_pad // tile_i
-    n_j = n_pad // tile_j
     L = box_length
     big = jnp.asarray(jnp.inf, r.dtype)
-
     col = jnp.arange(n_pad)
-    z = jnp.where(col < n, r[2], big)
-
-    def intervals(tile):
-        zt = z.reshape(n_pad // tile, tile)
-        lo = jnp.min(zt, axis=1)
-        hi = jnp.max(jnp.where(jnp.isfinite(zt), zt, -big), axis=1)
-        return lo, hi  # lo=+inf / hi=-inf for all-padding tiles
-
-    i_lo, i_hi = intervals(tile_i)
-    j_lo, j_hi = intervals(tile_j)
-
-    def gap(a_lo, a_hi, b_lo, b_hi):
-        return jnp.maximum(0.0, jnp.maximum(b_lo - a_hi, a_lo - b_hi))
-
-    a_lo = i_lo[:, None]
-    a_hi = i_hi[:, None]
-    finite = jnp.isfinite(a_hi) & jnp.isfinite(j_hi)[None, :]
-    g_direct = gap(a_lo, a_hi, j_lo[None, :], j_hi[None, :])
-    g_wrap = jnp.minimum(
-        gap(a_lo, a_hi, j_lo[None, :] - L, j_hi[None, :] - L),
-        gap(a_lo, a_hi, j_lo[None, :] + L, j_hi[None, :] + L),
-    )
-    # 2-bit flags: bit 0 = direct z-interval within window, bit 1 = wrapped
-    # image within window. Direct-only tiles (flag 1) can skip the z-MIC
-    # round() in the kernel; flags 2/3 keep it.
-    #
-    # Boundary hazard: a particle wrapping across z = 0/L between chunks
-    # jumps its RAW coordinate by L while physically moving epsilon, so a
-    # direct-only tile whose interval touches a box face would silently lose
-    # that pair without the z round. Force full MIC (bit 1) on any tile pair
-    # where either interval is within face_margin of a face.
+    real = col < n
     if face_margin is None:
         face_margin = window
-    direct = (g_direct < window) & finite
-    wrapped = (g_wrap < window) & finite
-    near_i = (i_lo < face_margin) | (i_hi > L - face_margin)
-    near_j = (j_lo < face_margin) | (j_hi > L - face_margin)
-    near_face = near_i[:, None] | near_j[None, :]
-    wrapped = wrapped | (direct & near_face)
-    return (direct.astype(jnp.int32) + 2 * wrapped.astype(jnp.int32)).reshape(-1)
+    if cross_margin is None:
+        cross_margin = face_margin
+
+    def axis_terms(coord, win):
+        x = jnp.where(real, coord, big)
+
+        def intervals(tile):
+            xt = x.reshape(n_pad // tile, tile)
+            lo = jnp.min(xt, axis=1)
+            hi = jnp.max(jnp.where(jnp.isfinite(xt), xt, -big), axis=1)
+            return lo, hi  # lo=+inf / hi=-inf for all-padding tiles
+
+        i_lo, i_hi = intervals(tile_i)
+        j_lo, j_hi = intervals(tile_j)
+
+        def gap(a_lo, a_hi, b_lo, b_hi):
+            return jnp.maximum(0.0, jnp.maximum(b_lo - a_hi, a_lo - b_hi))
+
+        a_lo = i_lo[:, None]
+        a_hi = i_hi[:, None]
+        finite = jnp.isfinite(a_hi) & jnp.isfinite(j_hi)[None, :]
+        direct = (gap(a_lo, a_hi, j_lo[None, :], j_hi[None, :]) < win) & finite
+        wrapped = (
+            jnp.minimum(
+                gap(a_lo, a_hi, j_lo[None, :] - L, j_hi[None, :] - L),
+                gap(a_lo, a_hi, j_lo[None, :] + L, j_hi[None, :] + L),
+            )
+            < win
+        ) & finite
+        s0_i, sl_i = i_lo < cross_margin, i_hi > L - cross_margin
+        b0_i, bl_i = i_lo < face_margin, i_hi > L - face_margin
+        s0_j, sl_j = j_lo < cross_margin, j_hi > L - cross_margin
+        b0_j, bl_j = j_lo < face_margin, j_hi > L - face_margin
+        hazard = (
+            (s0_i[:, None] & b0_j[None, :])
+            | (b0_i[:, None] & s0_j[None, :])
+            | (sl_i[:, None] & bl_j[None, :])
+            | (bl_i[:, None] & sl_j[None, :])
+        )
+        return direct | wrapped, wrapped | (direct & hazard)
+
+    active, round_z = axis_terms(r[2], window)
+    if x_window is None:
+        round_x = active
+    else:
+        active_x, round_x = axis_terms(r[0], x_window)
+        active = active & active_x
+    return jnp.where(
+        active,
+        1 + 2 * round_z.astype(jnp.int32) + 4 * round_x.astype(jnp.int32),
+        0,
+    ).reshape(-1)
 
 
 @functools.partial(
@@ -598,7 +632,7 @@ def build_tile_lists(
     n_j = n_pad // tile_j
     f2 = flags.reshape(n_i, n_j)
     active2 = f2 > 0
-    zwrap = f2 >= 2
+    zwrap = (f2 & 2) != 0
     i_lo = (jnp.arange(n_i) * tile_i)[:, None]
     j_lo = (jnp.arange(n_j) * tile_j)[None, :]
     visited = (j_lo + tile_j - 1) > i_lo  # some gj > gi exists in the tile
@@ -640,8 +674,8 @@ def _window_max_t(n_pad: int, tile_i: int, tile_j: int) -> int:
 def _pack_window_kernel(
     bounds_ref,  # SMEM (2,) int32: [n_i, n_b] as DYNAMIC loop bounds
     flags_ref,   # SMEM (n_i*n_b,) int32
-    tiles_ref,   # SMEM (7, max_t) int32 out
-    tcounts_ref,  # SMEM (3,) int32 out
+    tiles_ref,   # SMEM (9, max_t) int32 out
+    tcounts_ref,  # SMEM (4,) int32 out
     *,
     n: int,
     tile_i: int,
@@ -659,11 +693,11 @@ def _pack_window_kernel(
     n_b_dyn = bounds_ref[1]
     max_start = n_b_dyn - span
 
-    for c in range(3):
+    for c in range(4):
         tcounts_ref[c] = 0
 
     def zero_body(k, carry):
-        for rr in range(7):
+        for rr in range(9):
             tiles_ref[rr, k] = 0
         return carry
 
@@ -677,25 +711,30 @@ def _pack_window_kernel(
             @pl.when(trig)
             def _emit():
                 s = jnp.minimum(b, max_start)
-                zneed = f >= 2
+                zneed = (f & 2) != 0
+                xneed = (f & 4) != 0
                 for k in range(1, span):
                     cb = b + k
                     fz = flags_ref[row * n_b_dyn + jnp.minimum(cb, n_b_dyn - 1)]
-                    zneed = zneed | ((cb < n_b_dyn) & (fz >= 2))
+                    live = cb < n_b_dyn
+                    zneed = zneed | (live & ((fz & 2) != 0))
+                    xneed = xneed | (live & ((fz & 4) != 0))
                 needs_mask = (
                     (s * g < row * tile_i + tile_i)
                     | (s * g + tile_j > n)
                     | (row * tile_i + tile_i > n)
                     | (b > s)
                 )
-                cat = jnp.where(needs_mask, 2, jnp.where(zneed, 1, 0))
+                cat = jnp.where(
+                    needs_mask, 3, jnp.where(zneed, 2, jnp.where(xneed, 1, 0))
+                )
                 k0 = tcounts_ref[cat]
                 tiles_ref[2 * cat, k0] = row
                 tiles_ref[2 * cat + 1, k0] = s
 
                 @pl.when(needs_mask & (b > s))
                 def _jmin():
-                    tiles_ref[6, k0] = b
+                    tiles_ref[8, k0] = b
 
                 tcounts_ref[cat] = k0 + 1
 
@@ -735,8 +774,8 @@ def build_window_lists_pallas(
         in_specs=[smem, smem],
         out_specs=[smem, smem],
         out_shape=[
-            jax.ShapeDtypeStruct((7, max_t), jnp.int32),
-            jax.ShapeDtypeStruct((3,), jnp.int32),
+            jax.ShapeDtypeStruct((9, max_t), jnp.int32),
+            jax.ShapeDtypeStruct((4,), jnp.int32),
         ],
         interpret=interpret,
     )(bounds, flags.astype(jnp.int32))
@@ -770,10 +809,19 @@ def build_window_lists(
     counted). Blocks strictly below the diagonal block never trigger a
     visit (their pairs belong to the transposed row).
 
-    Returns (tiles (7, n_i*n_b) int32, tcounts (3,) int32): row pairs 0/1,
-    2/3, 4/5 are the i/j BLOCK indices (j in tile_i units) of the
-    pure-direct / pure-wrapped / masked visits as in ``build_tile_lists``;
-    row 6 is the masked category's jmin block index (0 for the pure rows
+    Returns (tiles (9, max_t) int32, tcounts (4,) int32): row pairs 0/1,
+    2/3, 4/5, 6/7 are the i/j BLOCK indices (j in tile_i units) of the
+    four visit categories keyed on the 3-bit ``compute_tile_flags``
+    encoding, aggregated over each visit's covered blocks:
+      0 "free"   — mask-free, no covered block needs the z or x round;
+      1 "x-only" — mask-free, x round needed, z round not (in pure-z
+        layouts every active tile carries the x bit, so the legacy
+        "pure direct" category lands here);
+      2 "full"   — mask-free, z round needed (x round kept on — a
+        z-but-not-x category is too rare for a fifth kernel body);
+      3 "masked" — diagonal-crossing / padding / clamped visits (full
+        MIC + masks).
+    Row 8 is the masked category's jmin block index (0 for the other rows
     and for ordinary masked visits). Entries past the counts are zero."""
     g = tile_i
     span = tile_j // g
@@ -796,11 +844,14 @@ def build_window_lists(
     # cluster starts >= span after that), so visits of different clusters
     # are disjoint; stride positions within a cluster are disjoint by
     # construction — every active block is covered exactly once.
-    behind = [
-        jnp.pad(trigger, ((0, 0), (k, 0)))[:, :n_b]
-        for k in range(1, span)
-    ]
-    cstart = trigger & ~jnp.stack(behind).any(axis=0)
+    if span > 1:
+        behind = [
+            jnp.pad(trigger, ((0, 0), (k, 0)))[:, :n_b]
+            for k in range(1, span)
+        ]
+        cstart = trigger & ~jnp.stack(behind).any(axis=0)
+    else:
+        cstart = trigger  # span 1: every active block is its own emission
     # most recent cluster start at/below b (valid wherever trigger holds)
     scs = jax.lax.cummax(jnp.where(cstart, b_idx, -1), axis=1)
     ep = b_idx - jnp.where(trigger, (b_idx - scs) % span, 0)
@@ -813,15 +864,19 @@ def build_window_lists(
     origs = b_idx * jnp.ones((n_i, 1), jnp.int32)
 
     # Effective coverage of an emission at b is [b, min(b+span, n_b)) (the
-    # jmin mask excludes [start, b)); a visit needs the z-MIC round iff any
-    # covered block has the wrap bit.
-    zz = f2 >= 2
-    zzp = jnp.concatenate(
-        [zz, jnp.zeros((n_i, span - 1), dtype=zz.dtype)], axis=1
-    )
-    zneed = jnp.stack(
-        [zzp[:, k:k + n_b] for k in range(span)], axis=0
-    ).any(axis=0)
+    # jmin mask excludes [start, b)); a visit needs an axis's MIC round iff
+    # any covered block has that axis's round bit.
+    def windowed_any(bit):
+        bb = (f2 & bit) != 0
+        bbp = jnp.concatenate(
+            [bb, jnp.zeros((n_i, span - 1), dtype=bb.dtype)], axis=1
+        )
+        return jnp.stack(
+            [bbp[:, k:k + n_b] for k in range(span)], axis=0
+        ).any(axis=0)
+
+    zneed = windowed_any(2)
+    xneed = windowed_any(4)
 
     i_lo = it * tile_i
     s_lo = starts * g
@@ -832,8 +887,10 @@ def build_window_lists(
         | (origs > starts)              # clamped: jmin prefix mask active
     )
     maskd = emit & needs_mask
-    pure_direct = emit & ~needs_mask & ~zneed
-    pure_wrap = emit & ~needs_mask & zneed
+    pure = emit & ~needs_mask
+    cat_free = pure & ~zneed & ~xneed
+    cat_x = pure & ~zneed & xneed
+    cat_full = pure & zneed
 
     max_t = _window_max_t(n_pad, tile_i, tile_j)
 
@@ -843,21 +900,22 @@ def build_window_lists(
         return packed + (m.sum().astype(jnp.int32),)
 
     rows = jnp.broadcast_to(it, (n_i, n_b))
-    di, dj, nd = pack(pure_direct, rows, starts)
-    wi, wj, nw = pack(pure_wrap, rows, starts)
+    ai, aj, na = pack(cat_free, rows, starts)
+    xi, xj, nx = pack(cat_x, rows, starts)
+    wi, wj, nw = pack(cat_full, rows, starts)
     mi, mj, mjmin, nm = pack(maskd, rows, starts, origs)
     # A clamped visit's jmin prefix is pure slack; zero jmin (== "no
     # prefix mask") for unclamped masked visits keeps the mask a no-op.
     mjmin = jnp.where(mjmin > mj, mjmin, 0)
     return (
-        jnp.stack([di, dj, wi, wj, mi, mj, mjmin]),
-        jnp.stack([nd, nw, nm]),
+        jnp.stack([ai, aj, xi, xj, wi, wj, mi, mj, mjmin]),
+        jnp.stack([na, nx, nw, nm]),
     )
 
 
 def _fused_dense_list_kernel(
-    tcounts_ref,  # SMEM (3,) int32: [n_pure_direct, n_pure_wrapped, n_masked]
-    tiles_ref,    # SMEM (6 or 7, max_t) int32: i/j block indices per category
+    tcounts_ref,  # SMEM (3 or 4,) int32: visit count per category
+    tiles_ref,    # SMEM (6 or 9, max_t) int32: i/j block indices per category
     *args,        # ins (3 or 5), outs (3 or 5), f_acc scratch
     n: int,
     tile_i: int,
@@ -911,11 +969,12 @@ def _fused_dense_list_kernel(
         f_acc[:, :] = jnp.zeros_like(f_acc)
         f_acc2[:, :] = jnp.zeros_like(f_acc2)
 
-        def visit(row, t, masked, fa, mic_z=True):
+        def visit(row, t, masked, fa, mic_z=True, mic_x=True):
             """One (i,j) tile visit accumulating into ``fa``. ``mic_z=False``
-            skips the z minimum-image round() — valid only for the "pure
-            direct" category (no wrapped z-image within the window, not near
-            a box face; see build_tile_lists/compute_tile_flags)."""
+            / ``mic_x=False`` skip that axis's minimum-image round() — valid
+            only for visit categories whose covered blocks all lack the
+            axis's round bit (no wrapped image within the window, no face
+            -crossing hazard; see compute_tile_flags)."""
             i_lo = tiles_ref[row, t] * tile_i
             j_lo = tiles_ref[row + 1, t] * jg
             isl = pl.ds(i_lo, tile_i)
@@ -938,7 +997,8 @@ def _fused_dense_list_kernel(
                            - rlo_out[1, jsl].reshape(1, tile_j))
                 dz = dz + (rlo_out[2, isl].reshape(tile_i, 1)
                            - rlo_out[2, jsl].reshape(1, tile_j))
-            dx = dx - L * jnp.round(dx * inv_l)
+            if mic_x:
+                dx = dx - L * jnp.round(dx * inv_l)
             dy = dy - L * jnp.round(dy * inv_l)
             if mic_z:
                 dz = dz - L * jnp.round(dz * inv_l)
@@ -958,7 +1018,7 @@ def _fused_dense_list_kernel(
                     # Window-list clamped visits: exclude the slice prefix
                     # already covered by an earlier visit of this i-row
                     # (jmin == 0 for ordinary masked visits -> no-op).
-                    mask = mask & (gj >= tiles_ref[6, t] * jg)
+                    mask = mask & (gj >= tiles_ref[8, t] * jg)
             coef, _du, _e, _ddu = lj_pair_terms(
                 r2, mask, approx_reciprocal, want_observables=False
             )
@@ -977,37 +1037,53 @@ def _fused_dense_list_kernel(
         # alternating two scratch buffers lets Mosaic overlap visit t+1's
         # pair math with visit t's accumulation (measured on v5e,
         # scripts/exp_layout.py K4: 951 -> 439 ns/visit at (128,512)).
-        categories = ((0, False, False), (2, False, True), (4, True, True))
+        # Category tuples: (tiles row, masks on, z round on, x round on).
+        # Window lists (has_jmin) carry the 4-category slab-aware contract;
+        # legacy tile lists the 3-category z-only one (x round always on).
+        if has_jmin:
+            categories = (
+                (0, False, False, False),
+                (2, False, False, True),
+                (4, False, True, True),
+                (6, True, True, True),
+            )
+        else:
+            categories = (
+                (0, False, False, True),
+                (2, False, True, True),
+                (4, True, True, True),
+            )
         if dual_acc:
-            def make_pair_body(row, masked, mic_z):
+            def make_pair_body(row, masked, mic_z, mic_x):
                 def body(t, c2):
-                    visit(row, 2 * t, masked, f_acc, mic_z)
-                    visit(row, 2 * t + 1, masked, f_acc2, mic_z)
+                    visit(row, 2 * t, masked, f_acc, mic_z, mic_x)
+                    visit(row, 2 * t + 1, masked, f_acc2, mic_z, mic_x)
                     return c2
 
                 return body
 
-            for row, masked, mic_z in categories:
+            for row, masked, mic_z, mic_x in categories:
                 cnt = tcounts_ref[row // 2]
                 jax.lax.fori_loop(0, cnt // 2,
-                                  make_pair_body(row, masked, mic_z), 0)
+                                  make_pair_body(row, masked, mic_z, mic_x), 0)
 
                 @pl.when(cnt % 2 == 1)
-                def _odd_tail(row=row, masked=masked, mic_z=mic_z, cnt=cnt):
-                    visit(row, cnt - 1, masked, f_acc, mic_z)
+                def _odd_tail(row=row, masked=masked, mic_z=mic_z,
+                              mic_x=mic_x, cnt=cnt):
+                    visit(row, cnt - 1, masked, f_acc, mic_z, mic_x)
 
             a_out[:, :] = 24.0 * (f_acc[:, :] + f_acc2[:, :])
         else:
-            def make_body(row, masked, mic_z):
+            def make_body(row, masked, mic_z, mic_x):
                 def body(t, c2):
-                    visit(row, t, masked, f_acc, mic_z)
+                    visit(row, t, masked, f_acc, mic_z, mic_x)
                     return c2
 
                 return body
 
-            for row, masked, mic_z in categories:
+            for row, masked, mic_z, mic_x in categories:
                 jax.lax.fori_loop(0, tcounts_ref[row // 2],
-                                  make_body(row, masked, mic_z), 0)
+                                  make_body(row, masked, mic_z, mic_x), 0)
             a_out[:, :] = 24.0 * f_acc[:, :]
         if extended:
             _comp_add(v_out, vc_out, a_out[:, :] * half_dt)
@@ -1063,8 +1139,9 @@ def fused_dense_chunk_list(
     the return is then (r, r_lo, v, vc, a).
 
     ``j_granule``: j entries of ``tiles`` are in units of this many columns
-    (from ``build_window_lists``; tiles then has the extra jmin row 6 and
-    starts are tile_i-granular). None = tile_j units (build_tile_lists)."""
+    (from ``build_window_lists``; tiles is then the 4-category (9, max_t)
+    layout with jmin in row 8 and tile_i-granular starts). None = tile_j
+    units (build_tile_lists' 3-category (6, max_t) layout)."""
     if n_steps > MAX_CHUNK_STEPS:
         raise ValueError(f"n_steps={n_steps} exceeds MAX_CHUNK_STEPS={MAX_CHUNK_STEPS}")
     extended = r_lo is not None

@@ -121,6 +121,12 @@ def pallas_pair_sweep(
     the (N, 3) functional API.
     """
     n_pad = pos.shape[1]
+    if n_pad % tile_i or n_pad % tile_j:
+        raise ValueError(
+            f"n_pad={n_pad} must be divisible by tile_i={tile_i} and "
+            f"tile_j={tile_j} (a floor-divided grid would silently drop "
+            "trailing columns)"
+        )
     grid = (n_pad // tile_i, n_pad // tile_j)
     kernel = functools.partial(
         _lj_tile_kernel,
@@ -241,6 +247,12 @@ def pallas_pair_sweep_tri(
     3..5 hold per-pair-ONCE partials, so totals restore with prefactors
     4 / 24 (no halving)."""
     n_pad = pos.shape[1]
+    if n_pad % tile_i or n_pad % tile_j:
+        raise ValueError(
+            f"n_pad={n_pad} must be divisible by tile_i={tile_i} and "
+            f"tile_j={tile_j} (a floor-divided grid would silently drop "
+            "trailing columns)"
+        )
     grid = (n_pad // tile_i, n_pad // tile_j)
     kernel = functools.partial(
         _lj_tri_kernel,
@@ -364,6 +376,12 @@ def pallas_pair_sweep_rect(
     nj_pad = pos_j.shape[1]
     tile_i = min(tile_i, ni_pad)
     tile_j = min(tile_j, nj_pad)
+    if ni_pad % tile_i or nj_pad % tile_j:
+        raise ValueError(
+            f"pads ({ni_pad}, {nj_pad}) must be divisible by tiles "
+            f"({tile_i}, {tile_j}) — a floor-divided grid would silently "
+            "drop trailing columns"
+        )
     grid = (ni_pad // tile_i, nj_pad // tile_j)
     kernel = functools.partial(
         _lj_rect_kernel,

@@ -104,7 +104,9 @@ def test_pencil_capacity_alignment():
 def test_auto_backend_selects_cellpair_for_large_n(monkeypatch):
     from ljmd_tpu.models import engine as E
 
-    cfg = config_from_density(num_cells=16, density=0.8442)  # N=16384
+    # Past the window-list SMEM cliff (n_pad/128 squared > 32768, n ~ 23k)
+    # auto must fall through to the structured pencil engine.
+    cfg = config_from_density(num_cells=20, density=0.8442)  # N=32000
     monkeypatch.setattr(
         E.jax, "devices", lambda: [type("D", (), {"platform": "tpu"})()]
     )
@@ -116,6 +118,24 @@ def test_auto_backend_selects_cellpair_for_large_n(monkeypatch):
         overflow = jnp.asarray(False)
 
     assert "pencil_overflow" in eng.diagnostics(FakeCarry())
+
+
+def test_auto_backend_selects_zsort_mid_n(monkeypatch):
+    """Mid-N (16384) routes to the sorted window-list engine on TPU
+    (measured faster than pencil there: 4.5e7 vs 2.6e7 ps/s on v5e)."""
+    from ljmd_tpu.models import engine as E
+
+    cfg = config_from_density(num_cells=16, density=0.8442)  # N=16384
+    monkeypatch.setattr(
+        E.jax, "devices", lambda: [type("D", (), {"platform": "tpu"})()]
+    )
+    eng = E.make_engine(cfg, "auto")
+    import jax.numpy as jnp
+
+    class FakeCarry:
+        invalid = jnp.asarray(False)
+
+    assert "zsort_invalid" in eng.diagnostics(FakeCarry())
 
 
 def test_half_shell_matches_full_sweep():

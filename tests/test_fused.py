@@ -129,6 +129,75 @@ def test_zsort_engine_matches_rows_engine():
     assert float(ob1.epot) == pytest.approx(float(ob2.epot), rel=1e-11)
 
 
+def test_zsort_slab_matches_rows_engine():
+    """(x-slab, z) lexicographic mode == rows engine through resorts (f64
+    interpret). Exercises the x interval test, the 4-category window lists
+    (incl. 'free' visits skipping BOTH rounds), and the slab sort key.
+    rc=1.3, skin=0.55 keeps window 1.96 so L=10.3 fits 5 x-slabs."""
+    from ljmd_tpu.models.engine import _zsort_engine
+
+    cfg = config_from_density(
+        num_cells=6, density=0.8, rc=1.3, dt=0.004, dtype="float64",
+        total_steps=10, warmup_steps=50, target_total_energy=-4000.0,
+    )
+    state = initialize(cfg, backend="dense")
+    # tile_j=128 (span 1): at n_pad=1024 the default 512-wide visits all
+    # touch the diagonal or padding (all 'masked'), leaving the round-skip
+    # categories untested; 128-wide visits have interior pure tiles.
+    ez = _zsort_engine(cfg, interpret=True, inner_chunk=8, slab_sort=True,
+                       tile_j=128, sort_skin=0.55)
+    er = _pallas_rows_engine(cfg, interpret=True)
+
+    cz, obz = ez.init(state)
+    cr, obr = er.init(state)
+    assert float(obz.epot) == pytest.approx(float(obr.epot), rel=1e-12)
+    # at this tiny N every block spans most of a slab's z range, so all
+    # visits keep full MIC — the round-skipping categories are exercised
+    # by test_zsort_slab_free_visits below
+    tc = np.asarray(cz.tcounts)
+    assert tc.sum() > 0, tc
+
+    cz = jax.jit(lambda c: ez.run_fast(c, 40))(cz)
+    cr = jax.jit(lambda c: er.run_fast(c, 40))(cr)
+    sz, sr = ez.get_state(cz), er.get_state(cr)
+    for field in ("r", "ru", "v", "a"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sz, field)), np.asarray(getattr(sr, field)),
+            rtol=1e-10, atol=1e-10, err_msg=field,
+        )
+    assert not bool(jax.device_get(cz.invalid))
+
+
+def test_zsort_slab_free_visits():
+    """Slab mode at N=2048 (blocks z-compact within slabs): 'free' visits —
+    skipping BOTH the x and z MIC rounds in the kernel — must exist and the
+    trajectory must still match the rows engine exactly."""
+    from ljmd_tpu.models.engine import _zsort_engine
+
+    cfg = config_from_density(
+        num_cells=8, density=0.8, rc=1.3, dt=0.004, dtype="float64",
+        total_steps=10, warmup_steps=30, target_total_energy=-9000.0,
+    )
+    state = initialize(cfg, backend="dense")
+    ez = _zsort_engine(cfg, interpret=True, inner_chunk=8, slab_sort=True,
+                       tile_j=256)
+    er = _pallas_rows_engine(cfg, interpret=True)
+    cz, _ = ez.init(state)
+    cr, _ = er.init(state)
+    tc = np.asarray(cz.tcounts)
+    assert tc[0] > 0, tc  # free visits present (kernel runs round-free body)
+
+    cz = jax.jit(lambda c: ez.run_fast(c, 24))(cz)
+    cr = jax.jit(lambda c: er.run_fast(c, 24))(cr)
+    sz, sr = ez.get_state(cz), er.get_state(cr)
+    for field in ("r", "v", "a"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sz, field)), np.asarray(getattr(sr, field)),
+            rtol=1e-10, atol=1e-10, err_msg=field,
+        )
+    assert not bool(jax.device_get(cz.invalid))
+
+
 def test_zsort_production_driver():
     """backend='zsort' through run_production matches dense."""
     from ljmd_tpu.models.simulation import run_production
@@ -173,20 +242,54 @@ def test_compute_tile_flags_circular_and_padding():
     zreal = np.linspace(0.0, L, n, endpoint=False)
     r = jnp.zeros((8, n_pad), jnp.float64).at[2, :n].set(jnp.asarray(zreal))
     flags = np.asarray(compute_tile_flags(r, n, 128, 128, L, 1.0)).reshape(8, 8)
+    # Encoding: bit0 active, bit1 z-round needed, bit2 x-round needed. With
+    # x_window=None the x bit rides on every active tile (x is unsorted).
     # distant tiles off: tile 0 z~[0,1.42], tile 3 z~[4.29,5.7] -> gap 2.9 > 1
     assert flags[0, 3] == 0 and flags[3, 0] == 0
-    # interior adjacent tiles: direct only (z-MIC skippable)
-    assert flags[2, 3] == 1 and flags[3, 4] == 1
-    # face-adjacent tiles keep full MIC (a particle wrapping across z=0/L
-    # jumps its raw coordinate by L): bit 1 forced
-    assert flags[0, 1] == 3
+    # interior adjacent tiles: direct only (z-MIC skippable) -> 1|4 = 5
+    assert flags[2, 3] == 5 and flags[3, 4] == 5
+    # tiles 0/1: tile 0 holds face-crossers, but tile 1 starts 1.43 > window
+    # from the face — no partner can be in range of a crosser, so the
+    # crosser-x-partner hazard rule keeps the z round OFF (the old
+    # either-side-near-face rule forced it on)
+    assert flags[0, 1] == 5
     # circular wrap: first and last REAL tiles touch through z = 0/L only
-    # via the wrapped image -> flag bit 1 (value 2)
-    assert flags[0, 6] == 2 and flags[6, 0] == 2
+    # via the wrapped image -> z round on -> 1|2|4 = 7
+    assert flags[0, 6] == 7 and flags[6, 0] == 7
     # padding tile (7) inactive everywhere
     assert flags[7, :].sum() == 0 and flags[:, 7].sum() == 0
-    # diagonal on: interior direct-only, face tiles full-MIC
-    assert flags[3, 3] == 1 and flags[0, 0] == 3 and flags[6, 6] == 3
+    # diagonal on: interior direct-only; face tiles hold both crossers and
+    # partners of the SAME face -> full MIC
+    assert flags[3, 3] == 5 and flags[0, 0] == 7 and flags[6, 6] == 7
+
+
+def test_compute_tile_flags_x_window():
+    """(x-slab, z) layouts: the x interval test prunes tiles whose x-slabs
+    cannot interact, and the x-round bit clears on interior tile pairs."""
+    from ljmd_tpu.ops.pallas_fused import compute_tile_flags
+
+    L = 10.0
+    n_pad = 512
+    n = 512
+    # 4 tiles: x-slabs [0,2), [2,4), [4,6), [6,8); z identical everywhere
+    # (z-test passes for every pair), window 1.0.
+    x = np.repeat([0.5 + 2 * k for k in range(4)], 128)
+    r = jnp.zeros((8, n_pad), jnp.float64).at[0, :n].set(jnp.asarray(x))
+    flags = np.asarray(
+        compute_tile_flags(r, n, 128, 128, L, 1.0, x_window=1.0)
+    ).reshape(4, 4)
+    # x-gap between slab centers 0.5 / 2.5 is 2.0 > window -> inactive,
+    # even though every z interval overlaps
+    assert flags[0, 1] == 0 and flags[1, 2] == 0
+    # same slab: active; x=0.5 is within window of face 0 (crosser and
+    # partner share the face) -> x round on; z intervals are all [0,0]
+    # at face 0 -> z round on too
+    assert flags[0, 0] == 7
+    # interior slab (x=4.5): x round off; z still pinned at face 0
+    assert flags[2, 2] == 3
+    # wrap: x=0.5 and x=6.5 are 4.0 apart directly and 3.0 through the
+    # x faces — both beyond the window -> inactive
+    assert flags[0, 3] == 0
 
 
 def test_zsort_extended_matches_rows_compensated():

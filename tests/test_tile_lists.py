@@ -101,16 +101,17 @@ def _window_cover_oracle(flags, n, n_pad, tile_i, tile_j, builder=None):
     builder = builder or build_window_lists
     tiles, tcounts = builder(flags, n, n_pad, tile_i, tile_j)
     tiles = np.asarray(tiles)
-    nd, nw, nm = (int(x) for x in np.asarray(tcounts))
+    counts = tuple(int(x) for x in np.asarray(tcounts))
     cover = np.zeros((n_i, n_pad), dtype=int)
     visits = []
-    for row, cnt, cat in ((0, nd, "direct"), (2, nw, "wrapped"), (4, nm, "masked")):
+    cats = ((0, "free"), (2, "xmic"), (4, "full"), (6, "masked"))
+    for (row, cat), cnt in zip(cats, counts):
         for k in range(cnt):
             it, sb = int(tiles[row, k]), int(tiles[row + 1, k])
             j_lo = sb * g
             assert j_lo + tile_j <= n_pad, "slice out of bounds"
             i_lo = it * tile_i
-            jmin = int(tiles[6, k]) * g if cat == "masked" else 0
+            jmin = int(tiles[8, k]) * g if cat == "masked" else 0
             cols = np.arange(j_lo, j_lo + tile_j)
             if cat == "masked":
                 keep = (cols >= jmin) & (cols < n)
@@ -126,7 +127,7 @@ def _window_cover_oracle(flags, n, n_pad, tile_i, tile_j, builder=None):
                 assert j_lo + tile_j <= n
                 cover[it, cols] += 1
             visits.append((cat, it, sb, jmin))
-    return cover, visits, (nd, nw, nm)
+    return cover, visits, counts
 
 
 def test_window_lists_cover_active_blocks_exactly_once():
@@ -138,7 +139,7 @@ def test_window_lists_cover_active_blocks_exactly_once():
                              (2048, 2048, 128, 512)):
         n_i, n_b = n_pad // ti, n_pad // ti
         flags = jnp.asarray(
-            rng.integers(0, 4, size=(n_i * n_b,)).astype(np.int32)
+            rng.integers(0, 8, size=(n_i * n_b,)).astype(np.int32)
         )
         cover, visits, _ = _window_cover_oracle(flags, n, n_pad, ti, tj)
         f2 = np.asarray(flags).reshape(n_i, n_b)
@@ -154,22 +155,37 @@ def test_window_lists_cover_active_blocks_exactly_once():
                     assert (cover[it, real] == 1).all(), (it, b, "missed")
 
 
+def _assert_categories(visits, f2, span):
+    """Per-category round-skip safety: a visit may skip an axis's MIC round
+    only if NO active covered block carries that axis's round bit."""
+    for cat, it, sb, jmin in visits:
+        blocks = f2[it, sb:sb + span]
+        live = blocks > 0
+        if cat in ("free", "xmic"):
+            assert not (live & ((blocks & 2) != 0)).any(), (
+                it, sb, "z-round block in z-skipping visit")
+        if cat == "free":
+            assert not (live & ((blocks & 4) != 0)).any(), (
+                it, sb, "x-round block in x-skipping visit")
+
+
 def test_window_lists_categories():
-    """Pure-direct visits cover no wrap-bit block; any visit whose span
-    holds a wrap-bit active block is wrapped or masked (the kernel's z-MIC
-    round stays on for it)."""
+    """Category assignment respects the per-axis round bits: 'free' visits
+    cover no bit-1/bit-2 block, 'xmic' visits no bit-1 block (the kernel
+    skips those rounds); anything covering a z-round block is 'full' or
+    'masked'."""
     rng = np.random.default_rng(3)
     n, n_pad, ti, tj = 4000, 4096, 128, 512
     n_i = n_pad // ti
-    flags = jnp.asarray(rng.integers(0, 4, size=(n_i * n_i,)).astype(np.int32))
-    _, visits, (nd, nw, nm) = _window_cover_oracle(flags, n, n_pad, ti, tj)
+    # Realistic compute_tile_flags values, weighted so every category
+    # (incl. "free" = a whole span of bit-free blocks) occurs.
+    flags = jnp.asarray(rng.choice(
+        [0, 1, 3, 5, 7], p=[0.3, 0.4, 0.1, 0.1, 0.1], size=(n_i * n_i,)
+    ).astype(np.int32))
+    _, visits, counts = _window_cover_oracle(flags, n, n_pad, ti, tj)
     f2 = np.asarray(flags).reshape(n_i, n_i)
-    assert nd > 0 and nw > 0 and nm > 0
-    span = tj // ti
-    for cat, it, sb, jmin in visits:
-        if cat == "direct":
-            blocks = f2[it, sb:sb + span]
-            assert (blocks < 2).all(), (it, sb, "wrap block in direct visit")
+    assert all(c > 0 for c in counts), counts
+    _assert_categories(visits, f2, tj // ti)
 
 
 def test_window_lists_pallas_kernel_matches_oracle():
@@ -184,7 +200,7 @@ def test_window_lists_pallas_kernel_matches_oracle():
     for n, n_pad, ti, tj in ((4000, 4096, 128, 512), (500, 512, 128, 512)):
         n_i = n_pad // ti
         flags = jnp.asarray(
-            rng.integers(0, 4, size=(n_i * n_i,)).astype(np.int32)
+            rng.integers(0, 8, size=(n_i * n_i,)).astype(np.int32)
         )
         cover, visits, counts = _window_cover_oracle(
             flags, n, n_pad, ti, tj, builder=builder
@@ -197,7 +213,4 @@ def test_window_lists_pallas_kernel_matches_oracle():
                 if f2[it, b] > 0 and b >= it and b * ti < n:
                     real = np.arange(b * ti, min((b + 1) * ti, n))
                     assert (cover[it, real] == 1).all(), (it, b)
-        span = tj // ti
-        for cat, it, sb, jmin in visits:
-            if cat == "direct":
-                assert (f2[it, sb:sb + span] < 2).all()
+        _assert_categories(visits, f2, tj // ti)
