@@ -410,6 +410,7 @@ def _zsort_engine(
     extended: bool | None = None,
     slab_sort: bool | None = None,
     n_pad: int | None = None,
+    mxu_reduce: bool = False,
 ) -> Engine:
     """Dense fused engine with sorted tile skipping.
 
@@ -656,6 +657,7 @@ def _zsort_engine(
                 c.r, c.v, c.a, c.tiles, c.tcounts, n, L, cfg.rc_square, dt, k,
                 tile_i=tile_i, tile_j=tile_j, interpret=interpret,
                 r_lo=c.rlo, vc=c.vc, j_granule=tile_i,
+                mxu_reduce=mxu_reduce,
             )
             ru = c.ru + ((r_end - c.r) + (rlo_end - c.rlo))
             r_w, rlo_w = wrap_positions_ext(r_end, rlo_end, L)
@@ -665,7 +667,7 @@ def _zsort_engine(
         r_end, v, a = fused_dense_chunk_list(
             c.r, c.v, c.a, c.tiles, c.tcounts, n, L, cfg.rc_square, dt, k,
             tile_i=tile_i, tile_j=tile_j, interpret=interpret,
-            j_granule=tile_i,
+            j_granule=tile_i, mxu_reduce=mxu_reduce,
         )
         ru = c.ru + (r_end - c.r)
         return dataclasses.replace(

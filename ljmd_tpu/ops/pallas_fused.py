@@ -929,6 +929,7 @@ def _fused_dense_list_kernel(
     extended: bool = False,
     dual_acc: bool = True,
     j_granule: int | None = None,
+    mxu_reduce: bool = False,
 ):
     jg = tile_j if j_granule is None else j_granule
     has_jmin = j_granule is not None
@@ -1025,12 +1026,55 @@ def _fused_dense_list_kernel(
             fx = coef * dx
             fy = coef * dy
             fz = coef * dz
-            fa[0, isl] += jnp.sum(fx, axis=1)
-            fa[1, isl] += jnp.sum(fy, axis=1)
-            fa[2, isl] += jnp.sum(fz, axis=1)
-            fa[0, jsl] -= jnp.sum(fx, axis=0)
-            fa[1, jsl] -= jnp.sum(fy, axis=0)
-            fa[2, jsl] -= jnp.sum(fz, axis=0)
+            if mxu_reduce:
+                # Route the row/column force sums through the MXU (ones-
+                # vector matmuls) instead of VPU cross-lane reduction
+                # trees; the MXU is otherwise idle in this kernel.
+                # Numerically exact vs jnp.sum: the bf16x3 f32-matmul
+                # splits each f32 operand exactly (3x8 mantissa bits) and
+                # 1.0 is exact in bf16, so products and the f32
+                # accumulation match the VPU reduction bit-for-bit up to
+                # summation order.
+                dtt = fx.dtype
+                ones_j = jnp.ones((tile_j, 8), dtt)
+                ones_i = jnp.ones((8, tile_i), dtt)
+                si = jax.lax.dot_general(
+                    fx, ones_j, (((1,), (0,)), ((), ())),
+                    preferred_element_type=dtt,
+                )
+                sy = jax.lax.dot_general(
+                    fy, ones_j, (((1,), (0,)), ((), ())),
+                    preferred_element_type=dtt,
+                )
+                sz = jax.lax.dot_general(
+                    fz, ones_j, (((1,), (0,)), ((), ())),
+                    preferred_element_type=dtt,
+                )
+                fa[0, isl] += si[:, 0]
+                fa[1, isl] += sy[:, 0]
+                fa[2, isl] += sz[:, 0]
+                tx = jax.lax.dot_general(
+                    ones_i, fx, (((1,), (0,)), ((), ())),
+                    preferred_element_type=dtt,
+                )
+                ty = jax.lax.dot_general(
+                    ones_i, fy, (((1,), (0,)), ((), ())),
+                    preferred_element_type=dtt,
+                )
+                tz = jax.lax.dot_general(
+                    ones_i, fz, (((1,), (0,)), ((), ())),
+                    preferred_element_type=dtt,
+                )
+                fa[0, jsl] -= tx[0, :]
+                fa[1, jsl] -= ty[0, :]
+                fa[2, jsl] -= tz[0, :]
+            else:
+                fa[0, isl] += jnp.sum(fx, axis=1)
+                fa[1, isl] += jnp.sum(fy, axis=1)
+                fa[2, isl] += jnp.sum(fz, axis=1)
+                fa[0, jsl] -= jnp.sum(fx, axis=0)
+                fa[1, jsl] -= jnp.sum(fy, axis=0)
+                fa[2, jsl] -= jnp.sum(fz, axis=0)
 
         # 2-way unrolled visit loops with INDEPENDENT accumulators: the
         # f_acc read-modify-write is the per-visit serial dependency, and
@@ -1108,6 +1152,7 @@ def _fused_dense_list_kernel(
         "approx_reciprocal",
         "dual_acc",
         "j_granule",
+        "mxu_reduce",
     ),
 )
 def fused_dense_chunk_list(
@@ -1129,6 +1174,7 @@ def fused_dense_chunk_list(
     vc: jax.Array | None = None,
     dual_acc: bool = True,
     j_granule: int | None = None,
+    mxu_reduce: bool = False,
 ) -> tuple[jax.Array, ...]:
     """``fused_dense_chunk_flags`` with the active tiles given as a compact
     LIST (from ``build_tile_lists``) instead of a per-tile flag sweep —
@@ -1160,6 +1206,7 @@ def fused_dense_chunk_list(
         extended=extended,
         dual_acc=dual_acc,
         j_granule=j_granule,
+        mxu_reduce=mxu_reduce,
     )
     n_state = 5 if extended else 3
     out_shape = [jax.ShapeDtypeStruct((8, n_pad), r.dtype)] * n_state

@@ -340,3 +340,30 @@ def test_zsort_frames_particle_order():
             np.asarray(getattr(want.frames, field)),
             rtol=1e-8, atol=1e-9, err_msg=field,
         )
+
+
+def test_zsort_mxu_reduce_matches_rows_engine():
+    """mxu_reduce=True (force sums via ones-matmul on the MXU) must match
+    the rows engine exactly in interpret f64 — the bf16x3 question only
+    exists on real hardware; this guards the dataflow (slices of the dot
+    outputs, sign, accumulation order per visit)."""
+    from ljmd_tpu.models.engine import _zsort_engine
+
+    cfg = config_from_density(
+        num_cells=6, density=0.8, dt=0.004, dtype="float64",
+        total_steps=10, warmup_steps=50, target_total_energy=-4000.0,
+    )
+    state = initialize(cfg, backend="dense")
+    ez = _zsort_engine(cfg, interpret=True, inner_chunk=8, mxu_reduce=True)
+    er = _pallas_rows_engine(cfg, interpret=True)
+
+    cz, _ = ez.init(state)
+    cr, _ = er.init(state)
+    cz = jax.jit(lambda c: ez.run_fast(c, 24))(cz)
+    cr = jax.jit(lambda c: er.run_fast(c, 24))(cr)
+    sz, sr = ez.get_state(cz), er.get_state(cr)
+    for field in ("r", "v", "a"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sz, field)), np.asarray(getattr(sr, field)),
+            rtol=1e-10, atol=1e-10, err_msg=field,
+        )
