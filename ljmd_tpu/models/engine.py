@@ -380,7 +380,7 @@ class ZSortCarry:
     """Carry of the z-sorted fused engine: (8, n_pad) rows in ascending-z
     column order (padding columns last), particle ids (-1 for padding),
     reference positions from the last sort (displacement criterion), the
-    tile-pair activity flags, and a sticky validity flag (set if a particle
+    packed visit lists, and a sticky validity flag (set if a particle
     outran the sort skin between checks — results then suspect, mirroring
     the pencil engine's overflow flag). ``rlo``/``vc`` are the two-float
     position remainders / velocity compensation terms of the extended
@@ -392,7 +392,6 @@ class ZSortCarry:
     a: jax.Array
     ids: jax.Array
     r_ref: jax.Array
-    flags: jax.Array
     tiles: jax.Array
     tcounts: jax.Array
     invalid: jax.Array
@@ -533,7 +532,7 @@ def _zsort_engine(
     n_tile_pairs = (n_pad // tile_i) * (n_pad // tile_i)
     fused_viable = n_tile_pairs <= 32768
 
-    def _flags(r8):
+    def _lists(r8):
         flags = compute_tile_flags(
             r8, n, tile_i, tile_i, L, window,
             x_window=window if slab_sort else None,
@@ -547,7 +546,7 @@ def _zsort_engine(
             tiles, tcounts = build_window_lists_pallas(
                 flags, n, n_pad, tile_i, tile_j
             )
-        return flags, tiles, tcounts
+        return tiles, tcounts
 
     def _sort(c_arrays):
         r8, ru8, v8, a8, ids, rlo, vcc = c_arrays
@@ -582,9 +581,9 @@ def _zsort_engine(
         out = sweep(r8)
         a8 = 24.0 * out * row_mask
         ekin = 0.5 * jnp.sum(v8 * v8)
-        flags0, tiles0, tcounts0 = _flags(r8)
+        tiles0, tcounts0 = _lists(r8)
         carry = ZSortCarry(
-            r=r8, ru=ru8, v=v8, a=a8, ids=ids, r_ref=r8, flags=flags0,
+            r=r8, ru=ru8, v=v8, a=a8, ids=ids, r_ref=r8,
             tiles=tiles0, tcounts=tcounts0,
             invalid=jnp.asarray(False), rlo=rlo, vc=vcc,
         )
@@ -637,10 +636,10 @@ def _zsort_engine(
             r8, ru8, v8, a8, ids, rlo, vcc = _sort(
                 (c.r, c.ru, c.v, c.a, c.ids, c.rlo, c.vc)
             )
-            flags2, tiles2, tcounts2 = _flags(r8)
+            tiles2, tcounts2 = _lists(r8)
             return dataclasses.replace(
                 c, r=r8, ru=ru8, v=v8, a=a8, ids=ids, r_ref=r8,
-                flags=flags2, tiles=tiles2, tcounts=tcounts2,
+                tiles=tiles2, tcounts=tcounts2,
                 rlo=rlo, vc=vcc,
             )
 
