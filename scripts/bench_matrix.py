@@ -128,6 +128,9 @@ def main(which):
         cfg = config_from_density(num_cells=16, density=0.8442, dt=0.005,
                                   dtype="float32", neighbor_skin=0.49)
         st = melt(cfg)
+        diff_time("N=16384 zsort slab",
+                  _zsort_engine(cfg, extended=False, slab_sort=True), st,
+                  500, 2000)
         diff_time("N=16384 pencil-fused", _cellpair_engine(cfg), st, 500, 2000)
     if "62500" in which:
         cfg = config_from_density(num_cells=25, density=0.8442, dt=0.005,
