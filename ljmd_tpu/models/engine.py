@@ -734,6 +734,7 @@ def _cellpair_engine(
     z_band: bool = False,
     half_shell: bool = True,
     compensated: bool | None = None,
+    mxu_reduce: bool = False,
 ) -> Engine:
     """Structured pencil-sweep backend for large N (SURVEY §5.7): pair work
     O(N * 9 * capacity) with purely block-structured memory access; rebinning
@@ -1044,7 +1045,7 @@ def _cellpair_engine(
                 c.r, c.v, c.a, hs_tbl, hs_shf,
                 grid.n_pencils, grid.capacity, L, cfg.rc_square, dt, k,
                 interpret=interpret, approx_reciprocal=not interpret,
-                r_lo=c.rc, vc=c.vc,
+                r_lo=c.rc, vc=c.vc, mxu_reduce=mxu_reduce,
             )
             ru_new = c.ru + ((r_end - c.r) + (rc_end - c.rc)) * xyz_mask
             return dataclasses.replace(
@@ -1054,6 +1055,7 @@ def _cellpair_engine(
             c.r, c.v, c.a, hs_tbl, hs_shf,
             grid.n_pencils, grid.capacity, L, cfg.rc_square, dt, k,
             interpret=interpret, approx_reciprocal=not interpret,
+            mxu_reduce=mxu_reduce,
         )
         # No wrap inside the chunk -> the unwrap update is the exact
         # slot-space displacement (rows 3/4 of r are untouched by the

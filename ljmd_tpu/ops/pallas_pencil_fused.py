@@ -89,6 +89,7 @@ def _pencil_fused_kernel(
     n_steps: int,
     approx_reciprocal: bool,
     extended: bool = False,
+    mxu_reduce: bool = False,
 ):
     n_state = 5 if extended else 3
     ins = args[:n_state]
@@ -167,6 +168,27 @@ def _pencil_fused_kernel(
                     fx = coef * dx
                     fy = coef * dy
                     fz = coef * dz
+                    if mxu_reduce:
+                        # Row/column sums as ones-matmuls on the otherwise
+                        # idle MXU (exact: bf16x3 splits f32 exactly; see
+                        # pallas_fused._fused_dense_list_kernel).
+                        dtt = fx.dtype
+                        ones_j = jnp.ones((fx.shape[1], 8), dtt)
+                        ones_i = jnp.ones((8, TILE_I), dtt)
+                        dn = (((1,), (0,)), ((), ()))
+                        f_acc[0, pl.ds(ista, TILE_I)] += jax.lax.dot_general(
+                            fx, ones_j, dn, preferred_element_type=dtt)[:, 0]
+                        f_acc[1, pl.ds(ista, TILE_I)] += jax.lax.dot_general(
+                            fy, ones_j, dn, preferred_element_type=dtt)[:, 0]
+                        f_acc[2, pl.ds(ista, TILE_I)] += jax.lax.dot_general(
+                            fz, ones_j, dn, preferred_element_type=dtt)[:, 0]
+                        f_acc[0, pl.ds(jsta, jw)] -= jax.lax.dot_general(
+                            ones_i, fx, dn, preferred_element_type=dtt)[0, :]
+                        f_acc[1, pl.ds(jsta, jw)] -= jax.lax.dot_general(
+                            ones_i, fy, dn, preferred_element_type=dtt)[0, :]
+                        f_acc[2, pl.ds(jsta, jw)] -= jax.lax.dot_general(
+                            ones_i, fz, dn, preferred_element_type=dtt)[0, :]
+                        return
                     f_acc[0, pl.ds(ista, TILE_I)] += jnp.sum(fx, axis=1)
                     f_acc[1, pl.ds(ista, TILE_I)] += jnp.sum(fy, axis=1)
                     f_acc[2, pl.ds(ista, TILE_I)] += jnp.sum(fz, axis=1)
@@ -243,6 +265,7 @@ def _pencil_fused_kernel(
         "n_steps",
         "interpret",
         "approx_reciprocal",
+        "mxu_reduce",
     ),
 )
 def fused_pencil_chunk(
@@ -261,6 +284,7 @@ def fused_pencil_chunk(
     approx_reciprocal: bool = True,
     r_lo: jax.Array | None = None,
     vc: jax.Array | None = None,
+    mxu_reduce: bool = False,
 ) -> tuple[jax.Array, ...]:
     """Advance ``n_steps`` velocity-Verlet steps of the slot-layout state in
     one Pallas program (see module doc for the contracts). Returns
@@ -285,6 +309,7 @@ def fused_pencil_chunk(
         n_steps=n_steps,
         approx_reciprocal=approx_reciprocal and not interpret,
         extended=extended,
+        mxu_reduce=mxu_reduce,
     )
     n_state = 5 if extended else 3
     out_shape = [jax.ShapeDtypeStruct((8, ns), r.dtype)] * n_state

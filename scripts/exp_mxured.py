@@ -41,6 +41,16 @@ def main():
                             mxu_reduce=mx)
         diff_time(f"N=16384 slab mxu={int(mx)}", eng, st, 500, 2000)
 
+    import dataclasses as _dc
+    from ljmd_tpu.models.engine import _cellpair_engine
+    cfg = config_from_density(num_cells=25, density=0.8442, dt=0.005,
+                              dtype="float32", neighbor_skin=0.49)
+    st = melt(cfg)
+    cfg_t = _dc.replace(cfg, neighbor_capacity=384)
+    for mx in (False, True):
+        eng = _cellpair_engine(cfg_t, mxu_reduce=mx)
+        diff_time(f"N=62500 pencil mxu={int(mx)}", eng, st, 400, 1600)
+
 
 if __name__ == "__main__":
     main()
