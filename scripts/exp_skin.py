@@ -33,16 +33,9 @@ def main():
     for tj in (256, 384, 512):
         eng = _zsort_engine(cfg, extended=False, sort_skin=0.58, tile_j=tj)
         diff_time(f"N=4000 skin=0.58 TJ={tj}", eng, st, 2000, 8000)
-    # Fatter i-tiles: fixed per-visit costs amortize over 2x area, at the
-    # price of coarser z-intervals (i-tile z-span doubles) and coarser
-    # 256-granular j starts.
-    for ti, tj in ((256, 512), (256, 768)):
-        try:
-            eng = _zsort_engine(cfg, extended=False, sort_skin=0.58,
-                                tile_i=ti, tile_j=tj)
-            diff_time(f"N=4000 TI={ti} TJ={tj}", eng, st, 2000, 8000)
-        except Exception as e:
-            print(f"N=4000 TI={ti} TJ={tj}: FAILED {e}", flush=True)
+    # TI=256 measured a 2x LOSS at N=16384 (exp_midn2: 732 vs 365 us/step
+    # — coarser z-intervals + 256-granular starts swamp the amortization);
+    # not retried here.
 
     cfg = config_from_density(num_cells=16, density=0.8442, dt=0.005,
                               dtype="float32")
