@@ -127,6 +127,7 @@ def main() -> None:
         "n": cfg.n,
         "steps_timed": n_steps + n_long,
         "timing": "differential (slope of two run lengths; cancels the ~30ms fixed dispatch+fetch cost of the TPU tunnel)",
+        "note": "N=4000 (=4*10^3 FCC cells): the closest 4k^3 lattice to the BASELINE N~4096 target (4096 is not reachable as 4k^3)",
         "etot_per_particle": etot_per_n,
     }
     print(json.dumps(result))
