@@ -260,6 +260,7 @@ def _melted_state(cfg, temp=1.0, seed=0, dtype=jnp.float64):
     return MDState(r=r, ru=r, v=v, a=jnp.zeros_like(r))
 
 
+@pytest.mark.slow
 def test_sharded_pencil_matches_single_device_cellpair():
     """Pencil-strip sharding (ppermute halo of the +x column) over 5 devices
     == the single-device cellpair engine, through melt steps that include a
@@ -317,6 +318,7 @@ def test_sharded_pencil_rejects_non_divisor_axis():
         make_sharded_pencil_engine(cfg, mesh)
 
 
+@pytest.mark.slow
 def test_spatial_engine_compensated_carry_and_policy():
     """dt <= 1e-3 f32 multi-chip: the spatial engine must carry compensation
     terms (item 3a — the single-chip effective-dtype invariant extends to the
