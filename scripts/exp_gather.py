@@ -209,6 +209,24 @@ def main():
 
     time_once("R sort-js full N^2", r_sortkeys, r)
 
+    # Band-limited rebuild: z-sorted rows only see a contiguous B-wide
+    # index band; O(N*B) distance work + per-row B-sort instead of N.
+    B = min(2048, N_PAD)
+
+    def r_band(rr):
+        col = jnp.arange(N_PAD)
+        base = jnp.clip(col - B // 2, 0, N_PAD - B)
+        cols = base[:, None] + jnp.arange(B)[None, :]      # (N, B) monotone
+        rb = rr[:, cols]                                   # gather (3, N, B)
+        d = rr[:, :, None] - rb
+        d = d - L * jnp.round(d / L)
+        r2 = jnp.sum(d * d, axis=0)
+        ok = (r2 < window * window) & (cols != col[:, None])
+        keys = jnp.where(ok, cols, jnp.int32(1 << 30))
+        return jnp.sort(keys, axis=1)[:, :160]
+
+    time_once(f"R band-sort B={B}", r_band, r)
+
 
 if __name__ == "__main__":
     main()
