@@ -402,14 +402,15 @@ class ZSortCarry:
 def _zsort_engine(
     cfg: SimConfig,
     interpret: bool | None = None,
-    sort_skin: float = 0.7,
-    inner_chunk: int = 8,
+    sort_skin: float | None = None,
+    inner_chunk: int = 16,
     tile_i: int = 128,
-    tile_j: int = 384,
+    tile_j: int | None = None,
     extended: bool | None = None,
     slab_sort: bool | None = None,
     n_pad: int | None = None,
     mxu_reduce: bool = False,
+    trigger: str = "always",
 ) -> Engine:
     """Dense fused engine with sorted tile skipping.
 
@@ -423,11 +424,19 @@ def _zsort_engine(
     of coarser z-intervals per block; it pays once the per-slab z-window
     spans many j-tiles (large n), and loses at small n where the
     per-visit floor dominates (``slab_sort=None`` picks by n). The order
-    and flags refresh when any particle has moved sort_skin/4 along a
-    SORTED axis since the sort (checked every ``inner_chunk`` steps
-    between fused kernels); a particle exceeding 0.6*sort_skin between
-    checks sets the sticky ``invalid`` diagnostic (the flag window's
-    exact validity bound — see the margin note below). Per-step
+    and flags refresh every ``inner_chunk`` steps between fused kernels
+    under the ``trigger`` policy: "always" (default) rebuilds
+    unconditionally — branchless, no displacement check, skin sized to
+    the ONE-chunk travel bound (measured fastest: the lax.cond'd modes
+    pay more in branch/copy overhead than the rebuilds they skip,
+    scripts/exp_resort*.py); "predictive" fires when a particle's
+    sorted-axis displacement plus its own velocity lookahead would cross
+    the 0.6*sort_skin validity bound by the next check; "static" fires
+    at sort_skin/4 displacement; "never" disables resorts (floor
+    measurements only). A particle
+    exceeding 0.6*sort_skin between checks sets the sticky ``invalid``
+    diagnostic (the flag window's exact validity bound — see the margin
+    note below). Per-step
     ``step``/``step_fast`` use the plain (order-agnostic) triangular
     sweep, so sampled observables are always exact regardless of flag
     staleness."""
@@ -453,25 +462,55 @@ def _zsort_engine(
             interpret = jax.devices()[0].platform != "tpu"
         except Exception:  # pragma: no cover
             interpret = True
+    if trigger not in ("always", "predictive", "static", "never"):
+        raise ValueError(f"unknown resort trigger {trigger!r}")
+
+    if sort_skin is None and trigger == "always":
+        # Unconditional resort every inner_chunk steps: the flag window
+        # only has to stay valid across ONE chunk, so the skin needs to
+        # cover just the worst per-chunk travel with margin:
+        # 0.6*skin >= 1.15 * v_max * inner_chunk * dt (v_max ~ 4.4
+        # sigma/tau measured at the T*~0.73 liquid point) -> skin ~
+        # 8.5*inner_chunk*dt. The floor covers hotter tails at small dt;
+        # no upper cap — the travel bound MUST win (a 0.7 cap at
+        # inner_chunk=24, dt=0.005 tripped sticky 'invalid' within 10k
+        # steps, exp_resort3), and the box-size clamp below rejects
+        # configs whose box cannot host the resulting window.
+        sort_skin = max(0.3, 8.5 * inner_chunk * cfg.dt)
+    if sort_skin is None:
+        # Travel-bound auto skin. Flags stay valid to 0.6*skin per-axis
+        # displacement while resorts fire at 0.25*skin; the 0.35*skin gap
+        # must exceed the worst per-chunk travel v_max*inner_chunk*dt with
+        # ~15% margin. Measured v_max ~ 4.4 sigma/tau at the T*~0.73
+        # liquid point (max 8-step travel 0.176 at dt=0.005), so
+        # skin ~ 14.5*inner_chunk*dt. Smaller dt earns a tighter flag
+        # window (candidate count scales with rc + 1.2*skin: 65.9us vs
+        # 76.4us per step at N=4000 for 0.58 vs 0.7); the 0.3 floor keeps
+        # resorts rare and covers hotter-than-measured tails at small dt.
+        sort_skin = min(0.7, max(0.3, 14.5 * inner_chunk * cfg.dt))
 
     n = cfg.n
-    # 128-granular padding (the window lists place tile_j-wide visits at
-    # tile_i-aligned starts, so n_pad need not be a tile_j multiple — it
-    # only has to FIT one visit).
-    if n_pad is None:
-        n_pad = max(_round_up(n, max(tile_i, 128)), tile_j)
-    elif n_pad % max(tile_i, 128) or n_pad < max(n, tile_j):
-        raise ValueError("n_pad must be a tile multiple covering n")
     L = cfg.box_length
     dtype = _effective_dtype(cfg)
     # Clamp the sort skin so the flag window respects MIC (window < L/2);
     # tiny boxes leave no room for z discrimination -> use the rows engine.
-    sort_skin = min(sort_skin, (0.49 * L - cfg.rc) / 1.2)
-    if sort_skin < 0.15:
+    clamped_skin = min(sort_skin, (0.49 * L - cfg.rc) / 1.2)
+    if clamped_skin < 0.15:
         raise ValueError(
             "box too small for z-sorted tile skipping (rc ~ L/2); "
             "use the 'pallas' rows engine"
         )
+    if trigger == "always" and clamped_skin < 0.999 * min(
+        sort_skin, 8.5 * inner_chunk * cfg.dt
+    ):
+        # The box clamp must never silently undercut the one-chunk travel
+        # bound — flags would go stale mid-chunk by construction.
+        raise ValueError(
+            "box too small for the unconditional-resort skin at this "
+            f"inner_chunk={inner_chunk}; reduce inner_chunk or use a "
+            "cond'd trigger"
+        )
+    sort_skin = clamped_skin
     # Flag window carries a 1.2x skin margin over the resort trigger: the
     # flags stay valid up to 0.6*skin per-axis displacement (the invalid
     # bound), while resorts fire at 0.25*skin — a particle would need a
@@ -492,6 +531,19 @@ def _zsort_engine(
         slab_sort = n_slabs >= 5 and n >= 8192
     if slab_sort and n_slabs < 5:
         raise ValueError("slab_sort needs >= 5 x-slabs of width rc+skin")
+    if tile_j is None:
+        # Measured on v5e (exp_resort3/4): TJ=512 wins in pure-z mode
+        # (65.4 vs 70.9 us/step at N=4000, chunk 16), TJ=384 in slab mode
+        # (440 vs 471 us/step at N=16384) — slab rows have shorter
+        # per-slab z-runs, so narrower visits waste less.
+        tile_j = 384 if slab_sort else 512
+    # 128-granular padding (the window lists place tile_j-wide visits at
+    # tile_i-aligned starts, so n_pad need not be a tile_j multiple — it
+    # only has to FIT one visit).
+    if n_pad is None:
+        n_pad = max(_round_up(n, max(tile_i, 128)), tile_j)
+    elif n_pad % max(tile_i, 128) or n_pad < max(n, tile_j):
+        raise ValueError("n_pad must be a tile multiple covering n")
 
     e_t, d_t, dd_t = (
         tail_corrections(n, cfg.volume, cfg.rc)
@@ -542,9 +594,12 @@ def _zsort_engine(
             tiles, tcounts = build_window_lists(flags, n, n_pad, tile_i, tile_j)
         else:
             # One-kernel pack: the jnp builder's non-fusable small ops cost
-            # ~106us/rebuild on v5e (scripts/exp_winlist.py).
+            # ~106us/rebuild on v5e (scripts/exp_winlist.py). zero_fill
+            # off: the sweep kernel never reads past the packed counts,
+            # and the 9*max_t scalar zero writes dominate the pack at
+            # mid N (51k SMEM writes at n_pad=16384).
             tiles, tcounts = build_window_lists_pallas(
-                flags, n, n_pad, tile_i, tile_j
+                flags, n, n_pad, tile_i, tile_j, zero_fill=False
             )
         return tiles, tcounts
 
@@ -567,8 +622,25 @@ def _zsort_engine(
         else:
             key = jnp.where(ids >= 0, r8[2], jnp.asarray(jnp.inf, dtype))
         order = jnp.argsort(key)
-        return (r8[:, order], ru8[:, order], v8[:, order], a8[:, order],
-                ids[order], rlo[:, order], vcc[:, order])
+        # Permute ONLY the data-carrying rows, in one stacked gather:
+        # rows 3..7 of every (8, n_pad) carry array are zero throughout
+        # (kernel force rows are masked, deltas of zero rows are zero),
+        # and rlo/vc are identically zero in non-extended mode — the
+        # naive per-array 8-row permute moved 4.7x more bytes than the
+        # data. Lane gathers are the dominant resort cost on TPU
+        # (~2.6 ns/element, scripts/exp_gather.py), so this cuts the
+        # rebuild nearly proportionally.
+        parts = [r8[0:3], ru8[0:3], v8[0:3], a8[0:3]]
+        if extended:
+            parts += [rlo[0:3], vcc[0:3]]
+        stacked = jnp.concatenate(parts, axis=0)[:, order]
+        pad5 = jnp.zeros((5, n_pad), dtype)
+
+        def emb(i):
+            return jnp.concatenate([stacked[3 * i:3 * i + 3], pad5], axis=0)
+
+        rlo2, vcc2 = (emb(4), emb(5)) if extended else (rlo, vcc)
+        return (emb(0), emb(1), emb(2), emb(3), ids[order], rlo2, vcc2)
 
     def init(state: MDState):
         r8 = jnp.zeros((8, n_pad), dtype).at[0:3, :n].set(state.r.T.astype(dtype))
@@ -619,6 +691,29 @@ def _zsort_engine(
         return carry, obs_from(out, ekin)
 
     def _maybe_resort(c: ZSortCarry) -> ZSortCarry:
+        if trigger == "always":
+            # Unconditional rebuild: no displacement check, no lax.cond.
+            # The branchless form avoids the conditional's buffer-copy
+            # overhead (measured ~9 us/step of the 11 us resort bill at
+            # N=4000 — scripts/exp_resort.py) and lets the skin shrink to
+            # the one-chunk travel bound. The sticky 'invalid' diagnostic
+            # still certifies the bound from the actual chunk travel.
+            d = minimum_image(c.r[0:3] - c.r_ref[0:3], L)
+            valid = (c.ids >= 0).astype(dtype)
+            dz2 = d[2] * d[2]
+            moved2 = jnp.max(
+                (jnp.maximum(d[0] * d[0], dz2) if slab_sort else dz2) * valid
+            )
+            invalid = c.invalid | (moved2 > invalid_thresh)
+            r8, ru8, v8, a8, ids, rlo, vcc = _sort(
+                (c.r, c.ru, c.v, c.a, c.ids, c.rlo, c.vc)
+            )
+            tiles2, tcounts2 = _lists(r8)
+            return dataclasses.replace(
+                c, r=r8, ru=ru8, v=v8, a=a8, ids=ids, r_ref=r8,
+                tiles=tiles2, tcounts=tcounts2,
+                rlo=rlo, vc=vcc, invalid=invalid,
+            )
         # Flag staleness is PER-AXIS: the interval windows are separable,
         # and only displacement along a sorted axis (z; x too in slab
         # mode) can push a pair's axis gap past its window. Ignoring the
@@ -631,6 +726,32 @@ def _zsort_engine(
             (jnp.maximum(d[0] * d[0], dz2) if slab_sort else dz2) * valid
         )
         invalid = c.invalid | (moved2 > invalid_thresh)
+        if trigger == "predictive":
+            # Per-particle lookahead (same idea as the pencil engine's
+            # rebin trigger): resort only when some particle's CURRENT
+            # sorted-axis displacement plus its own velocity-projected
+            # travel over the next check interval would cross the flag
+            # validity bound (0.6*skin). The static rule must budget the
+            # global worst-case chunk travel for EVERY particle; coupling
+            # each particle's d to its own v roughly doubles the usable
+            # displacement headroom (typical thermal |v_axis| ~ 0.7 vs
+            # the ~4.4 max). The 1.3 factor plus the absolute 0.02
+            # allowance covers intra-chunk acceleration; the sticky
+            # ``invalid`` bound above remains the exact violation
+            # detector either way.
+            look = 1.3 * inner_chunk * dt
+            vv = (c.v + c.vc) if extended else c.v
+            pz = jnp.abs(d[2]) + look * jnp.abs(vv[2]) + 0.02
+            if slab_sort:
+                px = jnp.abs(d[0]) + look * jnp.abs(vv[0]) + 0.02
+                pred = jnp.max(jnp.maximum(px, pz) * valid)
+            else:
+                pred = jnp.max(pz * valid)
+            fire = pred * pred > invalid_thresh
+        elif trigger == "never":  # floor measurement only (UNSAFE)
+            fire = jnp.asarray(False)
+        else:
+            fire = moved2 > resort_thresh
 
         def do(c):
             r8, ru8, v8, a8, ids, rlo, vcc = _sort(
@@ -643,7 +764,7 @@ def _zsort_engine(
                 rlo=rlo, vc=vcc,
             )
 
-        c = lax.cond(moved2 > resort_thresh, do, lambda c: c, c)
+        c = lax.cond(fire, do, lambda c: c, c)
         return dataclasses.replace(c, invalid=invalid)
 
     def _chunk(c: ZSortCarry, k: int) -> ZSortCarry:

@@ -673,6 +673,7 @@ def _window_max_t(n_pad: int, tile_i: int, tile_j: int) -> int:
 
 def _pack_window_kernel(
     bounds_ref,  # SMEM (2,) int32: [n_i, n_b] as DYNAMIC loop bounds
+    rowspan_ref,  # SMEM (2, n_i) int32: per-row [first, last+1) active block
     flags_ref,   # SMEM (n_i*n_b,) int32
     tiles_ref,   # SMEM (9, max_t) int32 out
     tcounts_ref,  # SMEM (4,) int32 out
@@ -681,6 +682,7 @@ def _pack_window_kernel(
     tile_i: int,
     tile_j: int,
     max_t: int,
+    zero_fill: bool,
 ):
     """Scalar-core greedy cover + pack in ONE kernel launch. The jnp
     builder's ~20 non-fusable ops (cummax/scatter/nonzero/gathers) cost
@@ -696,12 +698,13 @@ def _pack_window_kernel(
     for c in range(4):
         tcounts_ref[c] = 0
 
-    def zero_body(k, carry):
-        for rr in range(9):
-            tiles_ref[rr, k] = 0
-        return carry
+    if zero_fill:
+        def zero_body(k, carry):
+            for rr in range(9):
+                tiles_ref[rr, k] = 0
+            return carry
 
-    jax.lax.fori_loop(0, bounds_ref[0] * 0 + max_t, zero_body, 0)
+        jax.lax.fori_loop(0, bounds_ref[0] * 0 + max_t, zero_body, 0)
 
     def row_body(row, carry):
         def blk(b, covered):
@@ -732,15 +735,26 @@ def _pack_window_kernel(
                 tiles_ref[2 * cat, k0] = row
                 tiles_ref[2 * cat + 1, k0] = s
 
-                @pl.when(needs_mask & (b > s))
+                # Row 8 (the masked category's jmin) must be WRITTEN for
+                # every masked visit, not only clamped ones — without
+                # zero_fill an unwritten slot is SMEM garbage and the
+                # sweep kernel reads it for every masked visit.
+                @pl.when(cat == 3)
                 def _jmin():
-                    tiles_ref[8, k0] = b
+                    tiles_ref[8, k0] = jnp.where(b > s, b, 0)
 
                 tcounts_ref[cat] = k0 + 1
 
             return jnp.where(trig, b + span, covered)
 
-        jax.lax.fori_loop(0, n_b_dyn, blk, 0)
+        # Scan only the row's active block range (computed on the host
+        # side from the flags matrix): the full n_b scan costs n_i*n_b
+        # scalar iterations (16.9k at n_pad=16384 — the dominant rebuild
+        # term), the banded scan ~n_i*run_length (~2.2k).
+        jax.lax.fori_loop(
+            jnp.maximum(rowspan_ref[0, row], row), rowspan_ref[1, row],
+            blk, 0,
+        )
         return carry
 
     jax.lax.fori_loop(0, bounds_ref[0], row_body, 0)
@@ -748,7 +762,8 @@ def _pack_window_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "n_pad", "tile_i", "tile_j", "interpret"),
+    static_argnames=("n", "n_pad", "tile_i", "tile_j", "interpret",
+                     "zero_fill"),
 )
 def build_window_lists_pallas(
     flags: jax.Array,
@@ -757,28 +772,49 @@ def build_window_lists_pallas(
     tile_i: int,
     tile_j: int,
     interpret: bool = False,
+    zero_fill: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """``build_window_lists`` as one Pallas kernel (same contract; the two
     are parity-tested against each other). Use on TPU where the jnp
-    version's per-op dispatch overhead dominates the rebuild."""
+    version's per-op dispatch overhead dominates the rebuild.
+
+    ``zero_fill=False`` skips zeroing the (9, max_t) output beyond the
+    packed counts (9*max_t scalar SMEM writes — the dominant rebuild term
+    at mid N: 51k writes at n_pad=16384). Entries past the per-category
+    counts are then UNSPECIFIED; the sweep kernel never reads them (all
+    its loops are count-bounded and the masked category's jmin row is
+    written unconditionally), but comparisons against the jnp builder
+    need zero_fill=True."""
     n_i = n_pad // tile_i
     n_b = n_pad // tile_i
     max_t = _window_max_t(n_pad, tile_i, tile_j)
     kernel = functools.partial(
-        _pack_window_kernel, n=n, tile_i=tile_i, tile_j=tile_j, max_t=max_t
+        _pack_window_kernel, n=n, tile_i=tile_i, tile_j=tile_j, max_t=max_t,
+        zero_fill=zero_fill,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     bounds = jnp.array([n_i, n_b], dtype=jnp.int32)
+    # Per-row active-block band: the scalar cover loop scans only
+    # [max(first, row), last+1) instead of all n_b blocks.
+    f2 = (flags.reshape(n_i, n_b) > 0)
+    b_idx = jnp.arange(n_b, dtype=jnp.int32)[None, :]
+    any_row = jnp.any(f2, axis=1)
+    first = jnp.min(jnp.where(f2, b_idx, n_b), axis=1)
+    last1 = jnp.max(jnp.where(f2, b_idx + 1, 0), axis=1)
+    rowspan = jnp.stack([
+        jnp.where(any_row, first, n_b).astype(jnp.int32),
+        jnp.where(any_row, last1, 0).astype(jnp.int32),
+    ])
     return pl.pallas_call(
         kernel,
-        in_specs=[smem, smem],
+        in_specs=[smem, smem, smem],
         out_specs=[smem, smem],
         out_shape=[
             jax.ShapeDtypeStruct((9, max_t), jnp.int32),
             jax.ShapeDtypeStruct((4,), jnp.int32),
         ],
         interpret=interpret,
-    )(bounds, flags.astype(jnp.int32))
+    )(bounds, rowspan, flags.astype(jnp.int32))
 
 
 def build_window_lists(

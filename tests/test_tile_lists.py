@@ -214,3 +214,32 @@ def test_window_lists_pallas_kernel_matches_oracle():
                     real = np.arange(b * ti, min((b + 1) * ti, n))
                     assert (cover[it, real] == 1).all(), (it, b)
         _assert_categories(visits, f2, tj // ti)
+
+
+def test_window_lists_pallas_no_zero_fill_prefix_matches():
+    """zero_fill=False must produce identical counts and identical
+    count-prefixed entries (incl. the unconditionally-written jmin row 8
+    for masked visits) — only entries past the counts are unspecified."""
+    import functools
+    from ljmd_tpu.ops.pallas_fused import build_window_lists_pallas
+
+    b_full = functools.partial(build_window_lists_pallas, interpret=True)
+    b_fast = functools.partial(
+        build_window_lists_pallas, interpret=True, zero_fill=False
+    )
+    rng = np.random.default_rng(23)
+    for n, n_pad, ti, tj in ((4000, 4096, 128, 512), (2048, 2048, 128, 384)):
+        n_i = n_pad // ti
+        flags = jnp.asarray(
+            rng.integers(0, 8, size=(n_i * n_i,)).astype(np.int32)
+        )
+        t1, c1 = b_full(flags, n, n_pad, ti, tj)
+        t2, c2 = b_fast(flags, n, n_pad, ti, tj)
+        t1, t2 = np.asarray(t1), np.asarray(t2)
+        c1, c2 = np.asarray(c1), np.asarray(c2)
+        assert (c1 == c2).all()
+        for cat in range(4):
+            k = int(c1[cat])
+            assert (t1[2 * cat, :k] == t2[2 * cat, :k]).all()
+            assert (t1[2 * cat + 1, :k] == t2[2 * cat + 1, :k]).all()
+        assert (t1[8, : int(c1[3])] == t2[8, : int(c1[3])]).all()
