@@ -856,6 +856,7 @@ def _cellpair_engine(
     half_shell: bool = True,
     compensated: bool | None = None,
     mxu_reduce: bool = False,
+    rebin_trigger: str = "predictive",
 ) -> Engine:
     """Structured pencil-sweep backend for large N (SURVEY §5.7): pair work
     O(N * 9 * capacity) with purely block-structured memory access; rebinning
@@ -1149,6 +1150,10 @@ def _cellpair_engine(
         c = dataclasses.replace(
             c, overflow=c.overflow | (jnp.max(moved2) > chunk_invalid_thresh)
         )
+        if rebin_trigger == "never":  # floor measurement only (UNSAFE)
+            return c
+        if rebin_trigger == "always":
+            return _rebin_carry(c)
         speed = jnp.sqrt(jnp.sum(c.v[0:3] * c.v[0:3], axis=0))
         predicted = jnp.sqrt(moved2) + speed * (k * dt * _PREDICT_SAFETY)
         will_exceed = jnp.max(predicted * valid) > 0.5 * skin

@@ -38,6 +38,8 @@ def main(n_steps: int, variants):
             return _pallas_rows_engine(dataclasses.replace(cfg, compensated_sum=True))
         if name == "zsort":
             return _zsort_engine(cfg)
+        if name == "zsortext":
+            return _zsort_engine(cfg, extended=True)
         raise ValueError(name)
 
     check_every = 10_000
@@ -64,10 +66,12 @@ def main(n_steps: int, variants):
         rels = np.asarray(rels)
         steps_axis = np.arange(1, len(rels) + 1) * check_every
         slope = np.polyfit(steps_axis, rels, 1)[0] * 1e6  # secular dE/E per 1e6
+        diag = {k: bool(jax.device_get(v))
+                for k, v in eng.diagnostics(carry).items()}
         print(f"{name:6s}: steps={done} max|dE/E|={np.max(np.abs(rels)):.3e} "
               f"final={rels[-1]:+.3e} secular_slope={slope:+.3e}/1e6 "
               f"fluct_std={np.std(rels):.3e} E0={e0:.2f} "
-              f"rate={n*done/dt_s:.3e} p-s/s", flush=True)
+              f"rate={n*done/dt_s:.3e} p-s/s {diag}", flush=True)
 
 
 if __name__ == "__main__":
