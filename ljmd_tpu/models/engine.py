@@ -856,7 +856,7 @@ def _cellpair_engine(
     half_shell: bool = True,
     compensated: bool | None = None,
     mxu_reduce: bool = False,
-    rebin_trigger: str = "predictive",
+    rebin_trigger: str | None = None,
 ) -> Engine:
     """Structured pencil-sweep backend for large N (SURVEY §5.7): pair work
     O(N * 9 * capacity) with purely block-structured memory access; rebinning
@@ -940,6 +940,18 @@ def _cellpair_engine(
     # tests that force the compensated code path in f64 interpret mode.)
     if compensated is None:
         compensated = (cfg.compensated_sum or cfg.dt <= 1.0e-3) and dtype == jnp.float32
+    if rebin_trigger is None:
+        # Branchless unconditional rebin every chunk wins for plain f32
+        # (N=62500: 1367 vs 1503 us/step — the lax.cond/copy overhead
+        # around the predictive trigger exceeds the extra rebins,
+        # exp_pencil_bill.py; 8-step travel 0.176 < skin/2 = 0.245 keeps
+        # the bins valid with 1.39x margin). Compensated mode keeps the
+        # cond'd trigger: every rebin wraps positions and RESETS the
+        # position-compensation low bits, so rebinning 4-8x more often
+        # would erode the two-float accuracy it exists for.
+        rebin_trigger = "predictive" if compensated else "always"
+    if rebin_trigger not in ("always", "predictive", "never"):
+        raise ValueError(f"unknown rebin trigger {rebin_trigger!r}")
 
     def sweep(pos, counts, wins, want_obs=True):
         if z_band:
