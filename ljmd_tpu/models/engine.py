@@ -897,6 +897,7 @@ def _cellpair_engine(
         pallas_pencil_sweep_hs,
         sentinel_fill,
     )
+    from ljmd_tpu.ops.pallas_fused import wrap_positions_ext
     from ljmd_tpu.ops.pallas_pencil_fused import (
         fused_pencil_chunk,
         pencil_fused_viable,
@@ -1069,15 +1070,23 @@ def _cellpair_engine(
         def do_rebin(args):
             r8, ru8, v8, rc8, vc8 = args
             # wrap back into [0, L) before re-binning (pencil ids clip).
-            # Position compensation is reset: the wrap makes its low bits
-            # stale (velocity compensation is the one that matters and it
-            # permutes with the slots).
-            r8 = r8.at[0:3].set(wrap_positions(r8[0:3], L))
+            # In compensated mode the wrap is the TWO-FLOAT wrap: the
+            # subtraction's rounding error folds into the position
+            # compensation rows, which then permute with the slots —
+            # rebins no longer erode the extended precision (they used
+            # to reset rc, which is what kept the branchless always-
+            # rebin policy off the compensated path).
+            if compensated:
+                rhi, rlo = wrap_positions_ext(r8[0:3], rc8[0:3], L)
+                r8 = r8.at[0:3].set(rhi)
+                rc8 = rc8.at[0:3].set(rlo)
+            else:
+                r8 = r8.at[0:3].set(wrap_positions(r8[0:3], L))
             new_slot, overflow = rebin_slots(r8, r8[3, :], grid,
                                               z_order=z_band)
             # One stacked scatter instead of one per array: the lane-dim
             # scatter's cost is index-bound (~1 ms each at ns=75k on v5e).
-            to_permute = [r8, ru8, v8] + ([vc8] if compensated else [])
+            to_permute = [r8, ru8, v8] + ([rc8, vc8] if compensated else [])
             permuted = _permute_stacked(to_permute, new_slot)
             r8p = permuted[0]  # rows 3/4 (validity, ids) move with the slots
             r8p = sentinel_fill(r8p, r8p[3, :], grid.capacity)
@@ -1085,8 +1094,8 @@ def _cellpair_engine(
             wins_p, w_ovf = _windows(r8p, r8p[3, :], counts_p)
             return (
                 r8p, permuted[1], permuted[2],
-                jnp.zeros_like(r8p),
-                permuted[3] if compensated else vc8,
+                permuted[3] if compensated else jnp.zeros_like(r8p),
+                permuted[4] if compensated else vc8,
                 r8p, counts_p,
                 wins_p[0], wins_p[1], wins_p[2], overflow | w_ovf,
             )
@@ -1136,11 +1145,21 @@ def _cellpair_engine(
     _PREDICT_SAFETY = 1.25
 
     def _rebin_carry(c: PencilCarry) -> PencilCarry:
-        r8 = c.r.at[0:3].set(wrap_positions(c.r[0:3], L))
+        # a rides along (the next chunk's first half-kick uses it). In
+        # compensated mode the wrap is the two-float wrap and rc permutes
+        # with the slots (see do_rebin) — rebins preserve the extended
+        # precision.
+        if compensated:
+            rhi, rlo = wrap_positions_ext(c.r[0:3], c.rc[0:3], L)
+            r8 = c.r.at[0:3].set(rhi)
+            rc8 = c.rc.at[0:3].set(rlo)
+        else:
+            r8 = c.r.at[0:3].set(wrap_positions(c.r[0:3], L))
+            rc8 = c.rc
         new_slot, b_ovf = rebin_slots(r8, r8[3, :], grid, z_order=z_band)
-        # a rides along (the next chunk's first half-kick uses it); position
-        # compensation resets at the wrap like the per-step path.
-        to_permute = [r8, c.ru, c.v, c.a] + ([c.vc] if compensated else [])
+        to_permute = [r8, c.ru, c.v, c.a] + (
+            [rc8, c.vc] if compensated else []
+        )
         permuted = _permute_stacked(to_permute, new_slot)
         r8p = permuted[0]
         r8p = sentinel_fill(r8p, r8p[3, :], grid.capacity)
@@ -1148,8 +1167,8 @@ def _cellpair_engine(
         wins_p, w_ovf = _windows(r8p, r8p[3, :], counts_p)
         return dataclasses.replace(
             c, r=r8p, ru=permuted[1], v=permuted[2], a=permuted[3],
-            rc=jnp.zeros_like(r8p),
-            vc=permuted[4] if compensated else c.vc,
+            rc=permuted[4] if compensated else jnp.zeros_like(r8p),
+            vc=permuted[5] if compensated else c.vc,
             r_ref=r8p, counts=counts_p,
             win_a=wins_p[0], win_b=wins_p[1], use_b=wins_p[2],
             overflow=c.overflow | b_ovf | w_ovf,
