@@ -986,6 +986,18 @@ def _fused_dense_list_kernel(
     half_dt = 0.5 * dt
     half_dt_sq = 0.5 * dt * dt
 
+    # Loop-invariant mask geometry, hoisted out of the visit loops: the
+    # masked category's rank/padding tests reduce to broadcast compares
+    # against these instead of materializing two fresh (tile_i, tile_j)
+    # iotas + adds per visit (~61% of flagship visits are masked —
+    # diagonal + padding — so the per-pair mask cost is on the hot path).
+    dmat = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
+        - jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
+    )
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (1, tile_j), 1)
+    icol = jax.lax.broadcasted_iota(jnp.int32, (tile_i, 1), 0)
+
     def _comp_add(x_ref, c_ref, delta):
         """Neumaier-compensated x_ref += delta (see _fused_dense_kernel)."""
         x = x_ref[:, :]
@@ -1043,19 +1055,20 @@ def _fused_dense_list_kernel(
             mask = r2 < rc_square
             if masked:
                 # Rank + padding masks; both are no-ops on tiles that
-                # don't need them, so one body covers all cases.
-                gi = i_lo + jax.lax.broadcasted_iota(
-                    jnp.int32, (tile_i, tile_j), 0
+                # don't need them, so one body covers all cases. All four
+                # tests are broadcast compares against the hoisted iota
+                # geometry: gj > gi <=> dmat > i_lo - j_lo, etc.
+                mask = (
+                    mask
+                    & (dmat > i_lo - j_lo)
+                    & (jrow < n - j_lo)
+                    & (icol < n - i_lo)
                 )
-                gj = j_lo + jax.lax.broadcasted_iota(
-                    jnp.int32, (tile_i, tile_j), 1
-                )
-                mask = mask & (gj > gi) & (gj < n) & (gi < n)
                 if has_jmin:
                     # Window-list clamped visits: exclude the slice prefix
                     # already covered by an earlier visit of this i-row
                     # (jmin == 0 for ordinary masked visits -> no-op).
-                    mask = mask & (gj >= tiles_ref[8, t] * jg)
+                    mask = mask & (jrow >= tiles_ref[8, t] * jg - j_lo)
             coef, _du, _e, _ddu = lj_pair_terms(
                 r2, mask, approx_reciprocal, want_observables=False
             )

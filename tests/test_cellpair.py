@@ -173,3 +173,34 @@ def test_half_shell_matches_full_sweep():
             rtol=1e-9, atol=1e-11, err_msg=field,
         )
     assert float(ob_h.epot) == pytest.approx(float(ob_f.epot), rel=1e-9)
+
+
+def test_compensated_rebin_preserves_parity_across_triggers():
+    """The two-float-wrap rebin: compensated pencil trajectories must agree
+    between the cond'd predictive trigger and the branchless always-rebin
+    (which rebins 4-8x more often) to f64-roundoff — the rebin neither
+    loses compensation bits nor perturbs the physics."""
+    from ljmd_tpu.models.engine import _cellpair_engine
+
+    cfg = big_cfg(neighbor_skin=0.3)
+    state = initialize(cfg, backend="dense")
+    outs = []
+    for trig in ("predictive", "always"):
+        eng = _cellpair_engine(cfg, compensated=True, rebin_trigger=trig)
+        c, _ = eng.init(state)
+        c = jax.jit(lambda cc, eng=eng: eng.run_fast(cc, 48))(c)
+        assert not bool(jax.device_get(c.overflow))
+        outs.append(eng.get_state(c))
+    np.testing.assert_allclose(
+        np.asarray(outs[0].r), np.asarray(outs[1].r), rtol=1e-9, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[0].v), np.asarray(outs[1].v), rtol=1e-9, atol=1e-10
+    )
+
+
+def test_cellpair_rejects_unknown_rebin_trigger():
+    from ljmd_tpu.models.engine import _cellpair_engine
+
+    with pytest.raises(ValueError, match="rebin trigger"):
+        _cellpair_engine(big_cfg(), rebin_trigger="sometimes")

@@ -371,3 +371,30 @@ def test_zsort_mxu_reduce_matches_rows_engine():
             np.asarray(getattr(sz, field)), np.asarray(getattr(sr, field)),
             rtol=1e-10, atol=1e-10, err_msg=field,
         )
+
+
+def test_zsort_always_rejects_box_smaller_than_travel_bound():
+    """always-mode must refuse a box whose MIC clamp undercuts the
+    one-chunk travel skin instead of silently shipping stale flags."""
+    import pytest
+    from ljmd_tpu.models.engine import _zsort_engine
+
+    # rc close to L/2 leaves no window room at chunk 16's skin
+    cfg = config_from_density(
+        num_cells=5, density=0.8, rc=2.5, dt=0.02, dtype="float64",
+        total_steps=10, warmup_steps=0, target_total_energy=-2000.0,
+    )
+    with pytest.raises(ValueError):
+        _zsort_engine(cfg, interpret=True, trigger="always", inner_chunk=64)
+
+
+def test_zsort_rejects_unknown_trigger():
+    import pytest
+    from ljmd_tpu.models.engine import _zsort_engine
+
+    cfg = config_from_density(
+        num_cells=6, density=0.8, dt=0.003, dtype="float64",
+        total_steps=10, warmup_steps=0, target_total_energy=-4000.0,
+    )
+    with pytest.raises(ValueError, match="trigger"):
+        _zsort_engine(cfg, interpret=True, trigger="sometimes")
