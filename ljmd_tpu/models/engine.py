@@ -810,7 +810,7 @@ def _zsort_engine(
 
         def gather(arr):
             out = jnp.zeros((n + 1, 3), dtype)
-            out = out.at[idx].set(arr[0:3, :].T)
+            out = out.at[idx].set(arr[0:3, :].T, unique_indices=True)
             return out[:n]
 
         v8 = c.v + c.vc if extended else c.v
@@ -857,6 +857,7 @@ def _cellpair_engine(
     compensated: bool | None = None,
     mxu_reduce: bool = False,
     rebin_trigger: str | None = None,
+    use_fused: bool | None = None,
 ) -> Engine:
     """Structured pencil-sweep backend for large N (SURVEY §5.7): pair work
     O(N * 9 * capacity) with purely block-structured memory access; rebinning
@@ -941,17 +942,7 @@ def _cellpair_engine(
     # tests that force the compensated code path in f64 interpret mode.)
     if compensated is None:
         compensated = (cfg.compensated_sum or cfg.dt <= 1.0e-3) and dtype == jnp.float32
-    if rebin_trigger is None:
-        # Branchless unconditional rebin every chunk wins for plain f32
-        # (N=62500: 1367 vs 1503 us/step — the lax.cond/copy overhead
-        # around the predictive trigger exceeds the extra rebins,
-        # exp_pencil_bill.py; 8-step travel 0.176 < skin/2 = 0.245 keeps
-        # the bins valid with 1.39x margin). Compensated mode keeps the
-        # cond'd trigger: every rebin wraps positions and RESETS the
-        # position-compensation low bits, so rebinning 4-8x more often
-        # would erode the two-float accuracy it exists for.
-        rebin_trigger = "predictive" if compensated else "always"
-    if rebin_trigger not in ("always", "predictive", "never"):
+    if rebin_trigger not in ("always", "predictive", "never", None):
         raise ValueError(f"unknown rebin trigger {rebin_trigger!r}")
 
     def sweep(pos, counts, wins, want_obs=True):
@@ -995,10 +986,18 @@ def _cellpair_engine(
     def _permute_stacked(arrs, new_slot):
         """Apply the slot permutation to several (8, ns) arrays with ONE
         lane-dim scatter (its cost is dominated by the index stream, not the
-        row count — measured ~1 ms per scatter at ns=75k on v5e)."""
+        row count — measured ~1 ms per scatter at ns=75k on v5e).
+
+        ``unique_indices=True``: slot assignments are distinct by
+        construction; the only possible duplicates are overflow victims
+        clipped to the trash slot ``ns``, and that column is dropped by
+        the ``[:, :ns]`` slice below (overflow also sets the sticky
+        diagnostic, invalidating the run). Without the flag XLA takes the
+        duplicate-safe scatter lowering, which blows up super-linearly at
+        large ns (~31 ms per rebin at ns~300k, exp_bign)."""
         stacked = jnp.concatenate(arrs, axis=0)
         out = jnp.zeros((stacked.shape[0], ns + 1), dtype)
-        out = out.at[:, new_slot].set(stacked)[:, :ns]
+        out = out.at[:, new_slot].set(stacked, unique_indices=True)[:, :ns]
         return [out[8 * i:8 * (i + 1)] for i in range(len(arrs))]
 
     # Half-shell sweeps count each pair ONCE (prefactors 4/24, like the
@@ -1015,15 +1014,17 @@ def _cellpair_engine(
 
     def _scatter_rows(arr_particles: jax.Array, slot: jax.Array) -> jax.Array:
         out = jnp.zeros((8, ns + 1), dtype)
-        out = out.at[0:3, slot].set(arr_particles.T.astype(dtype))
+        out = out.at[0:3, slot].set(arr_particles.T.astype(dtype),
+                                    unique_indices=True)
         return out[:, :ns]
 
     def init(state: MDState):
         slot, overflow = bin_to_slots(state.r, grid)
         r8 = _scatter_rows(state.r, slot)
-        valid = jnp.zeros((ns + 1,), dtype).at[slot].set(1.0)[:ns]
+        valid = jnp.zeros((ns + 1,), dtype).at[slot].set(
+            1.0, unique_indices=True)[:ns]
         ids = jnp.full((ns + 1,), 0.0, dtype).at[slot].set(
-            jnp.arange(n, dtype=dtype)
+            jnp.arange(n, dtype=dtype), unique_indices=True
         )[:ns]
         r8 = r8.at[3, :].set(valid).at[4, :].set(ids)
         r8 = sentinel_fill(r8, valid, grid.capacity)
@@ -1048,7 +1049,7 @@ def _cellpair_engine(
     half_dt_sq = 0.5 * cfg.dt * cfg.dt
     rebuild_thresh = (0.5 * skin) ** 2
 
-    def _step(c: PencilCarry, want_obs: bool):
+    def _step(c: PencilCarry, want_obs: bool, rebin: bool = True):
         # Position update on xyz rows only (aux rows 3/4 of r stay intact).
         # NO per-step wrap: slot coordinates may drift up to skin/2 outside
         # [0, L) between rebins. This keeps xi - xj_shifted free of L-jumps,
@@ -1063,6 +1064,27 @@ def _cellpair_engine(
             rc_new = c.rc
             v_half, vc_half = c.v + c.a * half_dt, c.vc
         ru_new = c.ru + delta
+
+        if not rebin:
+            # Chunked driver (run_fast_unfused) owns the rebin decision at
+            # chunk granularity — skip the per-step displacement check and
+            # the lax.cond entirely (its branch/copy overhead at large ns
+            # is what the chunking removes; see exp_pencil_bill).
+            out = sweep(r_new, c.counts, (c.win_a, c.win_b, c.use_b),
+                        want_obs)
+            a_new = 24.0 * out * row_mask
+            if compensated:
+                v_new, vc_new = _comp_add(v_half, vc_half, a_new * half_dt)
+                v_eff = v_new + vc_new
+            else:
+                v_new, vc_new = v_half + a_new * half_dt, vc_half
+                v_eff = v_new
+            ekin = 0.5 * jnp.sum(v_eff * v_eff)
+            carry = dataclasses.replace(
+                c, r=r_new, ru=ru_new, v=v_new, a=a_new,
+                rc=rc_new, vc=vc_new,
+            )
+            return carry, obs_from(out, ekin)
 
         d = minimum_image(r_new[0:3] - c.r_ref[0:3], L)
         moved = jnp.max(jnp.sum(d * d, axis=0) * r_new[3]) > rebuild_thresh
@@ -1231,12 +1253,59 @@ def _cellpair_engine(
             c = _chunk(c, rem)
         return c
 
-    use_fused = (
+    def run_fast_unfused(c: PencilCarry, n_steps: int) -> PencilCarry:
+        """Chunked per-step sweeps past the fused kernel's VMEM budget:
+        the rebin policy (_maybe_rebin, same trigger modes and invalid
+        accounting as the fused path) runs once per inner_chunk, and the
+        steps in between skip the displacement check + lax.cond whose
+        branch/copy overhead dominates at large ns (measured: the cond'd
+        per-step path ran N=131k at 2.5e7 ps/s against a much higher
+        no-rebin floor — exp_bign/exp_pencil_bill)."""
+        def chunk(cc: PencilCarry, k: int) -> PencilCarry:
+            cc = _maybe_rebin(cc, k)
+
+            def body(c2, _):
+                c3, _ob = _step(c2, False, rebin=False)
+                return c3, None
+
+            cc, _ = lax.scan(body, cc, None, length=k)
+            return cc
+
+        full, rem = divmod(n_steps, inner_chunk)
+        if full > 0:
+            c, _ = lax.scan(
+                lambda cc, _: (chunk(cc, inner_chunk), None),
+                c, None, length=full,
+            )
+        if rem:
+            c = chunk(c, rem)
+        return c
+
+    fused_ok = (
         half_shell
         and not z_band
         and pencil_fused_viable(ns, jnp.dtype(dtype).itemsize,
                                 extended=compensated)
     )
+    if use_fused is None:
+        use_fused = fused_ok
+    elif use_fused and not fused_ok:
+        raise ValueError("fused pencil path not viable for this config")
+    if rebin_trigger is None:
+        # Plain f32 + fused: branchless rebin every chunk wins (N=62500:
+        # 1367 vs 1503 us/step — the lax.cond/copy overhead around the
+        # predictive trigger exceeds the extra rebins, exp_pencil_bill;
+        # 8-step travel 0.176 < skin/2 = 0.245 keeps bins valid at 1.39x
+        # margin). Past the fused VMEM budget (N >~ 100k) the rebin
+        # itself is the expensive side (exp_bign: predictive 11.9 vs
+        # always 12.7 ms/step at N=256k), so the cond'd predictive
+        # trigger returns. Compensated mode always keeps predictive:
+        # rebins wrap positions, and 4-8x more of them would erode the
+        # two-float accuracy margin for no speed gain at small dt.
+        rebin_trigger = (
+            "always" if (use_fused and not compensated) else "predictive"
+        )
+    # (rebin_trigger is read late-bound by _maybe_rebin/_step closures)
 
     def get_state(c: PencilCarry) -> MDState:
         """Slot layout -> particle order via the id row (positions wrapped
@@ -1247,7 +1316,7 @@ def _cellpair_engine(
 
         def gather(arr):
             out = jnp.zeros((n + 1, 3), dtype)
-            out = out.at[ids].set(arr[0:3, :].T)
+            out = out.at[ids].set(arr[0:3, :].T, unique_indices=True)
             return out[:n]
 
         v8 = c.v + c.vc if compensated else c.v
@@ -1264,7 +1333,7 @@ def _cellpair_engine(
         get_state=get_state,
         diagnostics=lambda c: {"pencil_overflow": c.overflow},
         step_fast=step_fast,
-        run_fast=run_fast if use_fused else None,
+        run_fast=run_fast if use_fused else run_fast_unfused,
     )
 
 
@@ -1293,10 +1362,10 @@ def make_engine(cfg: SimConfig, backend: str = "auto") -> Engine:
             # path ~5x SLOWER than the dense Pallas sweep at N=4000, so on
             # TPU the sorted window-list fused engine is the small/mid-N
             # choice — pure z order below n=8192, (x-slab, z) lexicographic
-            # above (measured N=16384: 4.49e7 vs the pencil's 2.6e7
-            # same-state ps/s) — and the structured pencil sweep takes over
-            # past the window-list SMEM cliff (n ~ 23k), where O(N*9*cap)
-            # work undercuts the z-window's O(N^2 * w/L).
+            # above (round-3 matrix, N=16384: 4.17e7 vs the pencil's
+            # 3.74e7 same-state ps/s) — and the structured pencil sweep
+            # takes over past the window-list SMEM cliff (n ~ 23k), where
+            # O(N*9*cap) work undercuts the z-window's O(N^2 * w/L).
             n_pad128 = -(-cfg.n // 128) * 128
             zsort_viable = (n_pad128 // 128) ** 2 <= 32768
             if zsort_viable and cfg.box_length > 4.0 * cfg.rc:

@@ -204,3 +204,31 @@ def test_cellpair_rejects_unknown_rebin_trigger():
 
     with pytest.raises(ValueError, match="rebin trigger"):
         _cellpair_engine(big_cfg(), rebin_trigger="sometimes")
+
+
+def test_unfused_run_fast_matches_per_step():
+    """The chunked unfused driver (rebin once per chunk, cond-free steps
+    in between) must reproduce the per-step cond'd trajectory through
+    several rebins."""
+    from ljmd_tpu.models.engine import _cellpair_engine
+
+    cfg = big_cfg(neighbor_skin=0.3)
+    state = initialize(cfg, backend="dense")
+    eng = _cellpair_engine(cfg, use_fused=False)
+    assert eng.run_fast is not None
+
+    c0, _ = eng.init(state)
+    c_fast = jax.jit(lambda c: eng.run_fast(c, 40))(c0)
+
+    def body(c, _):
+        c2, _ob = eng.step_fast(c)
+        return c2, None
+
+    c_step = jax.jit(lambda c: jax.lax.scan(body, c, None, length=40)[0])(c0)
+    assert not bool(jax.device_get(c_fast.overflow))
+    s_f, s_s = eng.get_state(c_fast), eng.get_state(c_step)
+    for field in ("r", "ru", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_f, field)), np.asarray(getattr(s_s, field)),
+            rtol=1e-9, atol=1e-10, err_msg=field,
+        )
