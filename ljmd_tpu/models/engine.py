@@ -601,6 +601,12 @@ def _zsort_engine(
             tiles, tcounts = build_window_lists_pallas(
                 flags, n, n_pad, tile_i, tile_j, zero_fill=False
             )
+        # NOTE (measured dead end, 2026-08-18): round-robin interleaving
+        # of visits across i-rows (to break the same-slice f_acc RMW
+        # chain) LOSES — 62.6 -> 65.6 us/step at N=4000, 395 -> 417 at
+        # N=16384. The row-major emission order is an asset: consecutive
+        # same-row visits keep the xi/yi/zi loads register-resident, and
+        # the reorder itself adds argsorts to every rebuild. Don't retry.
         return tiles, tcounts
 
     def _sort(c_arrays):
