@@ -232,3 +232,29 @@ def test_unfused_run_fast_matches_per_step():
             np.asarray(getattr(s_f, field)), np.asarray(getattr(s_s, field)),
             rtol=1e-9, atol=1e-10, err_msg=field,
         )
+
+
+def test_unfused_run_fast_through_production_driver():
+    """run_production must produce identical sampled observables whether
+    the pencil engine runs the fused kernel or the chunked unfused
+    driver (the >VMEM big-N path, forced here via use_fused=False)."""
+    from ljmd_tpu.models.engine import _cellpair_engine
+    from ljmd_tpu.models.simulation import run_production
+
+    cfg = big_cfg(neighbor_skin=0.3)
+    state = initialize(cfg, backend="dense")
+    want = run_production(cfg, state, backend="cellpair")
+
+    import ljmd_tpu.models.engine as eng_mod
+    orig = eng_mod._cellpair_engine
+    try:
+        eng_mod._cellpair_engine = lambda c, **kw: orig(
+            c, use_fused=False, **kw
+        )
+        got = run_production(cfg, state, backend="cellpair")
+    finally:
+        eng_mod._cellpair_engine = orig
+    np.testing.assert_allclose(
+        np.asarray(got.series), np.asarray(want.series),
+        rtol=1e-9, atol=1e-11,
+    )
