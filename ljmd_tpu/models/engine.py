@@ -526,9 +526,11 @@ def _zsort_engine(
     # beyond trivial geometry, and a large enough n that each slab's
     # z-window spans multiple j-tiles (below that, 3 clusters/row force
     # MORE visits than one contiguous z run — the per-visit floor wins).
+    # Boundary measured on v5e (round 3): pure-z still wins at N=8788
+    # (182 vs 193 us/step), slab wins from N=10976 (247 vs 285).
     n_slabs = int(L / window)
     if slab_sort is None:
-        slab_sort = n_slabs >= 5 and n >= 8192
+        slab_sort = n_slabs >= 5 and n >= 10000
     if slab_sort and n_slabs < 5:
         raise ValueError("slab_sort needs >= 5 x-slabs of width rc+skin")
     if tile_j is None:
@@ -1367,7 +1369,7 @@ def make_engine(cfg: SimConfig, backend: str = "auto") -> Engine:
             # Measured on v5e: XLA's dynamic gathers make the jnp neighbor
             # path ~5x SLOWER than the dense Pallas sweep at N=4000, so on
             # TPU the sorted window-list fused engine is the small/mid-N
-            # choice — pure z order below n=8192, (x-slab, z) lexicographic
+            # choice — pure z order below n~10000, (x-slab, z) lexicographic
             # above (round-3 matrix, N=16384: 4.17e7 vs the pencil's
             # 3.74e7 same-state ps/s) — and the structured pencil sweep
             # takes over past the window-list SMEM cliff (n ~ 23k), where
