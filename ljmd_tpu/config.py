@@ -269,7 +269,13 @@ def parse_reference_input(text: str, **overrides) -> SimConfig:
 
 def load_config(path: str, **overrides) -> SimConfig:
     """Load a SimConfig from a file: reference block-text format (``.txt``)
-    or JSON (``.json``, keys = SimConfig init fields)."""
+    or JSON (``.json``, keys = SimConfig init fields).
+
+    JSON configs may alternatively give the state point as ``density``
+    (+ optional ``rc``) instead of ``box_length``/``rc_over_box`` —
+    L = (4 k^3 / rho*)^(1/3) is derived like ``config_from_density``
+    (the BASELINE state points are specified as (N, rho*), and deriving
+    L by hand loses digits)."""
     with open(path, "r") as f:
         text = f.read()
     stripped = text.lstrip()
@@ -278,6 +284,15 @@ def load_config(path: str, **overrides) -> SimConfig:
 
         kwargs = json.loads(text)
         kwargs.update(overrides)
+        if "density" in kwargs:
+            if "box_length" in kwargs or "rc_over_box" in kwargs:
+                raise ValueError(
+                    "give either density(+rc) or box_length/rc_over_box, "
+                    "not both"
+                )
+            density = kwargs.pop("density")
+            rc = kwargs.pop("rc", None)
+            return config_from_density(density=density, rc=rc, **kwargs)
         return SimConfig(**kwargs)
     return parse_reference_input(text, **overrides)
 

@@ -102,3 +102,32 @@ def test_hashable_and_static():
     cfg = SimConfig()
     assert hash(cfg) == hash(SimConfig())
     assert cfg == SimConfig()
+
+
+def test_load_config_json_density_form(tmp_path):
+    """JSON configs may specify the state point as density (+ optional rc)
+    instead of box_length/rc_over_box."""
+    import json
+    from ljmd_tpu.config import config_from_density, load_config
+
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({
+        "num_cells": 3, "density": 0.8442, "dt": 0.004,
+        "total_steps": 100, "output_interval": 10, "warmup_steps": 10,
+        "target_total_energy": -500.0,
+    }))
+    cfg = load_config(str(p))
+    want = config_from_density(
+        num_cells=3, density=0.8442, dt=0.004, total_steps=100,
+        output_interval=10, warmup_steps=10, target_total_energy=-500.0,
+    )
+    assert cfg.box_length == want.box_length
+    assert cfg.rc == want.rc
+
+    p2 = tmp_path / "bad.json"
+    p2.write_text(json.dumps({
+        "num_cells": 3, "density": 0.8, "box_length": 10.0,
+    }))
+    import pytest
+    with pytest.raises(ValueError, match="not both"):
+        load_config(str(p2))
