@@ -1,5 +1,11 @@
 """Resort cadence/cost decomposition for the zsort window-list engine.
 
+CORRECTION (2026-08-18): this script's R "resort cost" chained
+iterations through an INTEGER *0 term, which XLA constant-folds — the
+flags+pack stages were dead code and the 34.5us figure covered only
+sort+gather. exp_rebuild2.py re-measures with fold-proof float
+chaining (0.0*x is not foldable); its numbers supersede R here.
+
 Round-3 finding: narrowing the flag window 3.34 -> 3.196 (skin 0.7 ->
 0.58 under the 1.2x margin) bought only ~1 us/step at N=4000 — matching
 the ~4% candidate cut — so the ~10 us gap between the engine (75-76 us)
