@@ -132,6 +132,18 @@ def main(which):
                   _zsort_engine(cfg, extended=False, slab_sort=True), st,
                   500, 2000)
         diff_time("N=16384 pencil-fused", _cellpair_engine(cfg), st, 500, 2000)
+    if "19652" in which:
+        # Just under the window-list SMEM cliff (154^2 = 23716 <= 32768
+        # block pairs): the largest N the auto policy routes to zsort.
+        # Measured 2026-08-18: zsort slab 3.51e7 vs pencil 3.43e7 ps/s —
+        # routing boundary confirmed on the zsort side up to the cliff.
+        cfg = config_from_density(num_cells=17, density=0.8442, dt=0.005,
+                                  dtype="float32", neighbor_skin=0.49)
+        st = melt(cfg)
+        diff_time("N=19652 zsort slab",
+                  _zsort_engine(cfg, extended=False, slab_sort=True), st,
+                  400, 1600)
+        diff_time("N=19652 pencil-fused", _cellpair_engine(cfg), st, 400, 1600)
     if "62500" in which:
         cfg = config_from_density(num_cells=25, density=0.8442, dt=0.005,
                                   dtype="float32", neighbor_skin=0.49)
@@ -146,5 +158,6 @@ def main(which):
 
 
 if __name__ == "__main__":
-    args = sys.argv[1:] or ["864", "4000", "4000ext", "16384", "62500"]
+    args = sys.argv[1:] or ["864", "4000", "4000ext", "16384", "19652",
+                            "62500"]
     main(args)
