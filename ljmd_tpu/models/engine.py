@@ -611,25 +611,39 @@ def _zsort_engine(
         # the reorder itself adds argsorts to every rebuild. Don't retry.
         return tiles, tcounts
 
+    # Packed single-operand UNSTABLE sort: XLA's stable-sort comparator is
+    # ~2x slower on v5e (scripts/exp_sort.py, 2026-08-18 — stability, not
+    # operand count, is the cost), and the rebuild argsort is the dominant
+    # rebuild term (39.5 of 53 us at N=4000, exp_rebuild2). The sort key is
+    # quantized into the int32 bits above the lane index; quantization only
+    # affects z order WITHIN one bucket (< 2^-15 L here) — interval
+    # tightness, never correctness: flags and window intervals are computed
+    # from the true coordinates after the sort. Low index bits make the
+    # unstable sort deterministic by construction.
+    _bits_pad = max(1, (n_pad - 1).bit_length())
+    _slab_bits = max(1, (n_slabs - 1).bit_length()) if slab_sort else 0
+    _zq_bits = 30 - _bits_pad - _slab_bits
+    assert _zq_bits >= 8, "z quantization too coarse; grow the int32 budget"
+
     def _sort(c_arrays):
         r8, ru8, v8, a8, ids, rlo, vcc = c_arrays
+        zq = jnp.clip(
+            (r8[2] * ((1 << _zq_bits) / L)).astype(jnp.int32),
+            0, (1 << _zq_bits) - 1,
+        )
         if slab_sort:
-            # Composite int key: (x-slab, quantized z) lexicographic. The
-            # z quantization (2^20 buckets) only affects tie order within
-            # 1e-6 L — interval tightness, never correctness (flags are
-            # computed from the true coordinates).
-            zq = jnp.clip(
-                (r8[2] * ((1 << 20) / L)).astype(jnp.int32), 0, (1 << 20) - 1
-            )
+            # Composite key: (x-slab, quantized z) lexicographic.
             xb = jnp.clip(
                 (r8[0] * (n_slabs / L)).astype(jnp.int32), 0, n_slabs - 1
             )
-            key = jnp.where(
-                ids >= 0, xb * (1 << 20) + zq, jnp.iinfo(jnp.int32).max
-            )
+            kq = (xb << _zq_bits) | zq
         else:
-            key = jnp.where(ids >= 0, r8[2], jnp.asarray(jnp.inf, dtype))
-        order = jnp.argsort(key)
+            kq = zq
+        # Invalid (padding) lanes sort last: all key bits set.
+        kq = jnp.where(ids >= 0, kq, (1 << (30 - _bits_pad)) - 1)
+        packed = (kq << _bits_pad) | jnp.arange(n_pad, dtype=jnp.int32)
+        packed = lax.sort(packed, is_stable=False)
+        order = packed & ((1 << _bits_pad) - 1)
         # Permute ONLY the data-carrying rows, in one stacked gather:
         # rows 3..7 of every (8, n_pad) carry array are zero throughout
         # (kernel force rows are masked, deltas of zero rows are zero),
@@ -893,7 +907,7 @@ def _cellpair_engine(
         compute_z_windows,
         default_z_window,
         make_pencil_grid,
-        rebin_slots,
+        rebin_gather,
     )
     from ljmd_tpu.ops.pallas_pencil import (
         TILE_I,
@@ -991,22 +1005,32 @@ def _cellpair_engine(
             .astype(jnp.int32)
         )
 
-    def _permute_stacked(arrs, new_slot):
-        """Apply the slot permutation to several (8, ns) arrays with ONE
-        lane-dim scatter (its cost is dominated by the index stream, not the
-        row count — measured ~1 ms per scatter at ns=75k on v5e).
+    def _permute_rebin(r8, others, old_of_new, valid_new):
+        """Gather-form slot permutation. The old scatter form
+        (``.at[:, new_slot].set``) pays XLA's scatter lowering, which blows
+        up super-linearly on v5e (exp_permute, 2026-08-18: 2.1 ms at
+        ns=185k but 14.8-18 ms at ns=372k, row-count-insensitive) while the
+        equivalent gather stays ~linear (0.5 / 1.8 ms). Gathers ONLY the
+        data-carrying rows — r8 rows 0..2 (coords) + row 4 (ids), 3 rows of
+        each other array; row 3 (validity) is rebuilt from ``valid_new``
+        and rows 5..7 are identically zero throughout the engine.
 
-        ``unique_indices=True``: slot assignments are distinct by
-        construction; the only possible duplicates are overflow victims
-        clipped to the trash slot ``ns``, and that column is dropped by
-        the ``[:, :ns]`` slice below (overflow also sets the sticky
-        diagnostic, invalidating the run). Without the flag XLA takes the
-        duplicate-safe scatter lowering, which blows up super-linearly at
-        large ns (~31 ms per rebin at ns~300k, exp_bign)."""
-        stacked = jnp.concatenate(arrs, axis=0)
-        out = jnp.zeros((stacked.shape[0], ns + 1), dtype)
-        out = out.at[:, new_slot].set(stacked, unique_indices=True)[:, :ns]
-        return [out[8 * i:8 * (i + 1)] for i in range(len(arrs))]
+        Overflow victims (per-pencil rank >= capacity) are simply not
+        covered by any target slot — dropped deterministically, with the
+        sticky overflow diagnostic set by ``rebin_gather``."""
+        vmask = valid_new.astype(dtype)
+        parts = [r8[0:3], r8[4:5]] + [o[0:3] for o in others]
+        stacked = jnp.concatenate(parts, axis=0)[:, old_of_new] * vmask[None, :]
+        pad3 = jnp.zeros((3, ns), dtype)
+        pad5 = jnp.zeros((5, ns), dtype)
+        r8p = jnp.concatenate(
+            [stacked[0:3], vmask[None, :], stacked[3:4], pad3], axis=0
+        )
+        outs = [
+            jnp.concatenate([stacked[4 + 3 * i:7 + 3 * i], pad5], axis=0)
+            for i in range(len(others))
+        ]
+        return r8p, outs
 
     # Half-shell sweeps count each pair ONCE (prefactors 4/24, like the
     # dense triangular kernel); the full 9-neighbor sweep counts twice.
@@ -1112,20 +1136,18 @@ def _cellpair_engine(
                 rc8 = rc8.at[0:3].set(rlo)
             else:
                 r8 = r8.at[0:3].set(wrap_positions(r8[0:3], L))
-            new_slot, overflow = rebin_slots(r8, r8[3, :], grid,
-                                              z_order=z_band)
-            # One stacked scatter instead of one per array: the lane-dim
-            # scatter's cost is index-bound (~1 ms each at ns=75k on v5e).
-            to_permute = [r8, ru8, v8] + ([rc8, vc8] if compensated else [])
-            permuted = _permute_stacked(to_permute, new_slot)
-            r8p = permuted[0]  # rows 3/4 (validity, ids) move with the slots
+            old_of_new, valid_new, overflow = rebin_gather(
+                r8, r8[3, :], grid, z_order=z_band
+            )
+            others = [ru8, v8] + ([rc8, vc8] if compensated else [])
+            r8p, permuted = _permute_rebin(r8, others, old_of_new, valid_new)
             r8p = sentinel_fill(r8p, r8p[3, :], grid.capacity)
             counts_p = _counts_from_valid(r8p[3, :])
             wins_p, w_ovf = _windows(r8p, r8p[3, :], counts_p)
             return (
-                r8p, permuted[1], permuted[2],
-                permuted[3] if compensated else jnp.zeros_like(r8p),
-                permuted[4] if compensated else vc8,
+                r8p, permuted[0], permuted[1],
+                permuted[2] if compensated else jnp.zeros_like(r8p),
+                permuted[3] if compensated else vc8,
                 r8p, counts_p,
                 wins_p[0], wins_p[1], wins_p[2], overflow | w_ovf,
             )
@@ -1186,19 +1208,18 @@ def _cellpair_engine(
         else:
             r8 = c.r.at[0:3].set(wrap_positions(c.r[0:3], L))
             rc8 = c.rc
-        new_slot, b_ovf = rebin_slots(r8, r8[3, :], grid, z_order=z_band)
-        to_permute = [r8, c.ru, c.v, c.a] + (
-            [rc8, c.vc] if compensated else []
+        old_of_new, valid_new, b_ovf = rebin_gather(
+            r8, r8[3, :], grid, z_order=z_band
         )
-        permuted = _permute_stacked(to_permute, new_slot)
-        r8p = permuted[0]
+        others = [c.ru, c.v, c.a] + ([rc8, c.vc] if compensated else [])
+        r8p, permuted = _permute_rebin(r8, others, old_of_new, valid_new)
         r8p = sentinel_fill(r8p, r8p[3, :], grid.capacity)
         counts_p = _counts_from_valid(r8p[3, :])
         wins_p, w_ovf = _windows(r8p, r8p[3, :], counts_p)
         return dataclasses.replace(
-            c, r=r8p, ru=permuted[1], v=permuted[2], a=permuted[3],
-            rc=permuted[4] if compensated else jnp.zeros_like(r8p),
-            vc=permuted[5] if compensated else c.vc,
+            c, r=r8p, ru=permuted[0], v=permuted[1], a=permuted[2],
+            rc=permuted[3] if compensated else jnp.zeros_like(r8p),
+            vc=permuted[4] if compensated else c.vc,
             r_ref=r8p, counts=counts_p,
             win_a=wins_p[0], win_b=wins_p[1], use_b=wins_p[2],
             overflow=c.overflow | b_ovf | w_ovf,
@@ -1300,19 +1321,18 @@ def _cellpair_engine(
     elif use_fused and not fused_ok:
         raise ValueError("fused pencil path not viable for this config")
     if rebin_trigger is None:
-        # Plain f32 + fused: branchless rebin every chunk wins (N=62500:
-        # 1367 vs 1503 us/step — the lax.cond/copy overhead around the
-        # predictive trigger exceeds the extra rebins, exp_pencil_bill;
+        # Plain f32: branchless rebin every chunk wins everywhere (N=62500
+        # fused: 1367 vs 1503 us/step — the lax.cond/copy overhead around
+        # the predictive trigger exceeds the extra rebins, exp_pencil_bill;
         # 8-step travel 0.176 < skin/2 = 0.245 keeps bins valid at 1.39x
-        # margin). Past the fused VMEM budget (N >~ 100k) the rebin
-        # itself is the expensive side (exp_bign: predictive 11.9 vs
-        # always 12.7 ms/step at N=256k), so the cond'd predictive
-        # trigger returns. Compensated mode always keeps predictive:
-        # rebins wrap positions, and 4-8x more of them would erode the
-        # two-float accuracy margin for no speed gain at small dt.
-        rebin_trigger = (
-            "always" if (use_fused and not compensated) else "predictive"
-        )
+        # margin). With the unstable packed rebin sort (exp_sort,
+        # 2026-08-18) this extends past the fused VMEM budget too: N=131k
+        # always 2.74e7 vs predictive 2.70e7, N=256k 2.30e7 vs 2.22e7
+        # (exp_bign re-run; before the sort fix predictive won there).
+        # Compensated mode keeps predictive: rebins wrap positions, and
+        # 4-8x more of them would erode the two-float accuracy margin for
+        # no speed gain at small dt.
+        rebin_trigger = "predictive" if compensated else "always"
     # (rebin_trigger is read late-bound by _maybe_rebin/_step closures)
 
     def get_state(c: PencilCarry) -> MDState:

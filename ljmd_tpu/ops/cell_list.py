@@ -33,6 +33,7 @@ __all__ = [
     "pencil_capacity",
     "bin_to_slots",
     "rebin_slots",
+    "rebin_gather",
     "default_z_window",
     "compute_z_windows",
 ]
@@ -197,11 +198,19 @@ def rebin_slots(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid,
     Returns (new_slot_for_old_slot (n_slots,), overflow): invalid old slots
     map to the sentinel n_slots (dropped by the scatter).
 
-    ``z_order=False`` sorts by pencil id only (stable int32 sort) — the
-    half-shell and fused pencil sweeps accept ANY within-pencil rank order,
-    and the composite (pencil, z) float key costs more and truncates to f32
-    on TPU anyway. Keep z_order=True for the z-band windows, which require
-    z-sorted rank prefixes.
+    ``z_order=False`` sorts by pencil id only — the half-shell and fused
+    pencil sweeps accept ANY within-pencil rank order, and the composite
+    (pencil, z) float key costs more and truncates to f32 on TPU anyway.
+    Keep z_order=True for the z-band windows, which require z-sorted rank
+    prefixes.
+
+    The pencil-only path packs (pid << ceil_log2(ns)) | slot into ONE int32
+    and sorts it UNSTABLY: XLA's STABLE sort comparator is ~2.2-2.4x slower
+    on v5e (exp_sort, 2026-08-18: 2.62 -> 1.32 ms at ns=185k, 4.97 -> 2.09
+    at ns=372k — stability, not operand count, is the cost), and the low
+    slot-index bits make the unstable sort deterministic by construction.
+    Falls back to an unstable 2-operand sort when the packed key would
+    overflow int31 (n_pencils * n_slots >= 2^31, N >> 1e6).
     """
     ns = grid.n_slots
     x, y, z = rows_r[0], rows_r[1], rows_r[2]
@@ -213,10 +222,19 @@ def rebin_slots(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid,
         key = pid_key.astype(jnp.float64) * (grid.box_length + 1.0) + jnp.where(
             is_valid, z.astype(jnp.float64), 0.0
         )
+        order = jnp.argsort(key, stable=True)
+        sorted_pid = pid_key[order]
     else:
-        key = pid_key
-    order = jnp.argsort(key, stable=True)
-    sorted_pid = pid_key[order]
+        bits = max(1, (ns - 1).bit_length())
+        if (grid.n_pencils << bits) < 2**31:
+            packed = (pid_key << bits) | jnp.arange(ns, dtype=jnp.int32)
+            packed = jax.lax.sort(packed, is_stable=False)
+            order = packed & ((1 << bits) - 1)
+            sorted_pid = packed >> bits
+        else:  # pragma: no cover - needs N >> 1e6
+            sorted_pid, order = jax.lax.sort_key_val(
+                pid_key, jnp.arange(ns, dtype=jnp.int32), is_stable=False
+            )
     ranks_sorted = (jnp.arange(ns) - _run_starts(sorted_pid)).astype(jnp.int32)
     ranks = jnp.zeros((ns,), jnp.int32).at[order].set(ranks_sorted)
     overflow = jnp.any(is_valid & (ranks >= grid.capacity))
@@ -226,6 +244,64 @@ def rebin_slots(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid,
         ns,  # sentinel: dropped
     )
     return new_slot, overflow
+
+
+@partial(jax.jit, static_argnames=("grid", "z_order"))
+def rebin_gather(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid,
+                 z_order: bool = False):
+    """Gather-form rebin: the permutation as ``old slot OF each new slot``.
+
+    The scatter form (``rebin_slots`` + an ``.at[:, new_slot].set`` permute)
+    pays XLA's scatter lowering, which blows up super-linearly on v5e
+    (exp_permute, 2026-08-18: 2.1 ms at ns=185k but 14.8-18 ms at ns=372k,
+    row-count-insensitive) while gathers stay ~linear (0.5 / 1.8-2.9 ms).
+    Target slots are STRUCTURED (t = pid * capacity + j), so no inverse
+    scatter is needed either: per-pencil run starts in the sorted order come
+    from a tiny searchsorted (n_pencils queries), and
+    ``old_of_new[t] = order[starts[pid] + j]`` is broadcast arithmetic plus
+    one 1-row gather.
+
+    Returns ``(old_of_new (ns,) int32, valid_new (ns,) bool, overflow)``:
+    ``new_layout[:, t] = old_layout[:, old_of_new[t]] where valid_new[t]``.
+    Overflow victims (rank >= capacity) are dropped, same contract as
+    ``rebin_slots``; the layout produced is IDENTICAL to the scatter form's
+    for the same sort key.
+    """
+    ns = grid.n_slots
+    cap = grid.capacity
+    pid = _pencil_ids(rows_r[0], rows_r[1], grid)
+    is_valid = valid > 0.5
+    pid_key = jnp.where(is_valid, pid, grid.n_pencils)
+    if z_order:
+        key = pid_key.astype(jnp.float64) * (grid.box_length + 1.0) + jnp.where(
+            is_valid, rows_r[2].astype(jnp.float64), 0.0
+        )
+        order = jnp.argsort(key, stable=True).astype(jnp.int32)
+        sorted_pid = pid_key[order]
+    else:
+        bits = max(1, (ns - 1).bit_length())
+        if (grid.n_pencils << bits) < 2**31:
+            packed = (pid_key << bits) | jnp.arange(ns, dtype=jnp.int32)
+            packed = jax.lax.sort(packed, is_stable=False)
+            order = packed & ((1 << bits) - 1)
+            sorted_pid = packed >> bits
+        else:  # pragma: no cover - needs N >> 1e6
+            sorted_pid, order = jax.lax.sort_key_val(
+                pid_key, jnp.arange(ns, dtype=jnp.int32), is_stable=False
+            )
+    # Per-pencil run starts in sorted order (n_pencils+1 binary searches —
+    # trivial next to the sort; the +1 row closes the last pencil's count).
+    starts = jnp.searchsorted(
+        sorted_pid, jnp.arange(grid.n_pencils + 1, dtype=sorted_pid.dtype),
+        side="left",
+    ).astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]
+    overflow = jnp.any(counts > cap)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    src = starts[:-1, None] + j[None, :]
+    valid_new = (j[None, :] < jnp.minimum(counts, cap)[:, None]).reshape(ns)
+    old_of_new = order[jnp.clip(src.reshape(ns), 0, ns - 1)]
+    return old_of_new, valid_new, overflow
 
 
 def default_z_window(grid: PencilGrid, n: int, r_extend: float, tile_i: int = 128) -> int:

@@ -59,6 +59,71 @@ def test_bin_to_slots_invariants():
         assert iy == min(int(r[i, 1] / w), grid.m_xy - 1)
 
 
+def test_rebin_slots_packed_matches_stable():
+    """The z_order=False rebin uses an unstable packed single-key sort
+    (exp_sort, 2x faster on v5e); it must assign every particle to the same
+    PENCIL as the stable z-ordered path and produce distinct in-range slots
+    (any within-pencil rank order is contractually acceptable)."""
+    from ljmd_tpu.ops.cell_list import rebin_slots
+
+    cfg = big_cfg()
+    grid = make_pencil_grid(cfg.n, cfg.box_length, cfg.rc + cfg.neighbor_skin,
+                            cfg.density)
+    rng = np.random.default_rng(3)
+    r = jnp.asarray(rng.uniform(0, cfg.box_length, (cfg.n, 3)))
+    slot, overflow = bin_to_slots(r, grid)
+    assert not bool(overflow)
+    ns = grid.n_slots
+    rows = jnp.zeros((8, ns))
+    rows = rows.at[0:3, slot].set(r.T)
+    rows = rows.at[3, slot].set(1.0)
+
+    new_z, ovf_z = rebin_slots(rows, rows[3], grid, z_order=True)
+    new_p, ovf_p = rebin_slots(rows, rows[3], grid, z_order=False)
+    assert not bool(ovf_z) and not bool(ovf_p)
+    valid = np.asarray(rows[3]) > 0.5
+    nz, np_ = np.asarray(new_z)[valid], np.asarray(new_p)[valid]
+    # same pencil assignment, distinct in-range slots, invalid -> sentinel
+    assert np.array_equal(nz // grid.capacity, np_ // grid.capacity)
+    assert len(np.unique(np_)) == cfg.n
+    assert np_.max() < ns
+    assert np.all(np.asarray(new_p)[~valid] == ns)
+
+
+def test_rebin_gather_matches_scatter_layout():
+    """The engine's gather-form rebin (exp_permute: XLA lane scatters blow
+    up super-linearly at big ns) must produce EXACTLY the layout the
+    scatter form produces from the same sort key, for both key modes."""
+    from ljmd_tpu.ops.cell_list import rebin_gather, rebin_slots
+
+    cfg = big_cfg()
+    grid = make_pencil_grid(cfg.n, cfg.box_length, cfg.rc + cfg.neighbor_skin,
+                            cfg.density)
+    rng = np.random.default_rng(7)
+    r = jnp.asarray(rng.uniform(0, cfg.box_length, (cfg.n, 3)))
+    slot, overflow = bin_to_slots(r, grid)
+    assert not bool(overflow)
+    ns = grid.n_slots
+    rows = jnp.zeros((8, ns))
+    rows = rows.at[0:3, slot].set(r.T)
+    rows = rows.at[3, slot].set(1.0)
+    rows = rows.at[4, slot].set(jnp.arange(cfg.n, dtype=rows.dtype))
+
+    for z_order in (False, True):
+        new_slot, ovf_s = rebin_slots(rows, rows[3], grid, z_order=z_order)
+        old_of_new, valid_new, ovf_g = rebin_gather(rows, rows[3], grid,
+                                                    z_order=z_order)
+        assert bool(ovf_s) == bool(ovf_g) == False  # noqa: E712
+        # scatter-form layout
+        want = np.zeros((8, ns + 1))
+        want[:, np.asarray(new_slot)] = np.asarray(rows)
+        want = want[:, :ns]
+        # gather-form layout
+        got = np.asarray(rows)[:, np.asarray(old_of_new)]
+        got *= np.asarray(valid_new)[None, :]
+        np.testing.assert_array_equal(got, want, err_msg=f"z_order={z_order}")
+
+
 def test_cellpair_init_force_parity():
     cfg = big_cfg()
     state = initialize(cfg, backend="dense")
