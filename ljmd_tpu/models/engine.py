@@ -1292,12 +1292,14 @@ def _cellpair_engine(
         no-rebin floor — exp_bign/exp_pencil_bill)."""
         def chunk(cc: PencilCarry, k: int) -> PencilCarry:
             cc = _maybe_rebin(cc, k)
-
-            def body(c2, _):
-                c3, _ob = _step(c2, False, rebin=False)
-                return c3, None
-
-            cc, _ = lax.scan(body, cc, None, length=k)
+            # The k steps are UNROLLED (k <= inner_chunk, static): a
+            # lax.scan here, compiled into the same module as the rebin's
+            # gather pipeline, miscompiles on v5e — the scanned sweeps
+            # compute corrupted forces (energy injection ~ permutation
+            # distance; bisected at N=131072, docs/RESULTS.md
+            # "rebin+scan miscompile"). Straight-line steps measure clean.
+            for _ in range(k):
+                cc, _ob = _step(cc, False, rebin=False)
             return cc
 
         full, rem = divmod(n_steps, inner_chunk)

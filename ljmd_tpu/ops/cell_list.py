@@ -246,18 +246,29 @@ def rebin_slots(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid,
     return new_slot, overflow
 
 
-@partial(jax.jit, static_argnames=("grid", "z_order"))
 def rebin_gather(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid,
                  z_order: bool = False):
     """Gather-form rebin: the permutation as ``old slot OF each new slot``.
+
+    NO ``jnp.searchsorted`` and NO ``@jax.jit`` decoration here, on purpose:
+    on v5e, a searchsorted-based starts/counts pipeline inside the cellpair
+    engine's chunk graph (a live ``lax.scan`` in the same compiled module)
+    SILENTLY MISCOMPILES at some geometries — at N=131072 (ns=184960) it
+    loses 14,208 = 111*128 particles, lane-tile-granular, with or without
+    the Pallas sweep in the graph, only when the scan emits a real loop
+    (length >= 2). The segment-add + cumsum form below is measured clean in
+    the identical composition, as are the scatter-form sibling and every
+    standalone composition (bisected 2026-08-18, docs/RESULTS.md
+    "searchsorted miscompile"). Keep this function un-jitted so callers
+    trace it inline; direct eager calls (tests) run op-by-op.
 
     The scatter form (``rebin_slots`` + an ``.at[:, new_slot].set`` permute)
     pays XLA's scatter lowering, which blows up super-linearly on v5e
     (exp_permute, 2026-08-18: 2.1 ms at ns=185k but 14.8-18 ms at ns=372k,
     row-count-insensitive) while gathers stay ~linear (0.5 / 1.8-2.9 ms).
     Target slots are STRUCTURED (t = pid * capacity + j), so no inverse
-    scatter is needed either: per-pencil run starts in the sorted order come
-    from a tiny searchsorted (n_pencils queries), and
+    scatter is needed either: per-pencil counts come from a tiny
+    segment-add, run starts from their exclusive cumsum, and
     ``old_of_new[t] = order[starts[pid] + j]`` is broadcast arithmetic plus
     one 1-row gather.
 
@@ -289,16 +300,20 @@ def rebin_gather(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid,
             sorted_pid, order = jax.lax.sort_key_val(
                 pid_key, jnp.arange(ns, dtype=jnp.int32), is_stable=False
             )
-    # Per-pencil run starts in sorted order (n_pencils+1 binary searches —
-    # trivial next to the sort; the +1 row closes the last pencil's count).
-    starts = jnp.searchsorted(
-        sorted_pid, jnp.arange(grid.n_pencils + 1, dtype=sorted_pid.dtype),
-        side="left",
-    ).astype(jnp.int32)
-    counts = starts[1:] - starts[:-1]
+    # Per-pencil counts via segment-add, run starts via exclusive cumsum.
+    # Equivalent to binary-searching the sorted pids (valid particles are
+    # grouped by ascending pid with invalid last), but does NOT use
+    # jnp.searchsorted — see the miscompile note in the docstring.
+    counts = jnp.zeros((grid.n_pencils,), jnp.int32).at[
+        jnp.clip(pid, 0, grid.n_pencils - 1)
+    ].add(is_valid.astype(jnp.int32))
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    del sorted_pid  # only the permutation is needed from the sort
     overflow = jnp.any(counts > cap)
     j = jnp.arange(cap, dtype=jnp.int32)
-    src = starts[:-1, None] + j[None, :]
+    src = starts[:, None] + j[None, :]
     valid_new = (j[None, :] < jnp.minimum(counts, cap)[:, None]).reshape(ns)
     old_of_new = order[jnp.clip(src.reshape(ns), 0, ns - 1)]
     return old_of_new, valid_new, overflow
@@ -364,6 +379,11 @@ def compute_z_windows(
     zk = zcol[nbrs]                                      # (T, 9, cap)
 
     def ss(a, v, side):
+        # CAUTION: jnp.searchsorted miscompiled on v5e inside the cellpair
+        # chunk graph (see rebin_gather's docstring). This use is in the
+        # EXPERIMENTAL z-band path (default off) and recomputed only at
+        # rebins; if z_band is ever promoted, validate etot conservation at
+        # N >= 1e5 on TPU first or rewrite via segment counts.
         return jnp.searchsorted(a, v, side=side)
 
     ss_rows = jax.vmap(jax.vmap(ss, in_axes=(0, 0, None)), in_axes=(0, 0, None))

@@ -20,7 +20,7 @@ the mesh's particle axis so per-chip pair work is O(N/d + halo):
   only the force sweep is an explicit ``shard_map``.
 
 Scaling caveat (documented, deliberate): the rebin itself is a global
-argsort + scatter (O(N log N) with cross-device traffic), amortized over the
+packed sort + gather (O(N log N) with cross-device traffic), amortized over the
 ~10-16 step rebin cadence; the per-step sweep is the O(N/d + halo) part. The
 local sweep is vectorized jnp over (pencils, cap, cap) blocks — on TPU the
 XLA fusion of these dense blocks is decent but not Pallas-grade; this path's
@@ -49,7 +49,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ljmd_tpu.config import SimConfig
 from ljmd_tpu.models.engine import Engine, _comp_add, _effective_dtype
-from ljmd_tpu.ops.cell_list import bin_to_slots, make_pencil_grid, rebin_slots
+from ljmd_tpu.ops.cell_list import bin_to_slots, make_pencil_grid, rebin_gather
 from ljmd_tpu.ops.geometry import minimum_image, wrap_positions
 from ljmd_tpu.ops.lj import _pair_terms, tail_corrections
 from ljmd_tpu.parallel.mesh import PARTICLE_AXIS
@@ -260,20 +260,38 @@ def make_sharded_pencil_engine(
     rebuild_thresh = (0.5 * skin) ** 2
 
     def _rebin(args):
+        # Gather-form slot permutation (rebin_gather): XLA's scatter lowering
+        # blows up super-linearly at big ns on v5e (exp_permute, 2026-08-18)
+        # while the equivalent gather stays ~linear. Only the data-carrying
+        # rows ride the gather — r8 rows 0..2 + ids row 4, 3 rows of each
+        # other array; validity is rebuilt from ``valid_new`` and rows 5..7
+        # are identically zero in this engine (no sentinel fill; the sweep
+        # masks by validity).
         r8, ru8, v8, rc8, vc8 = args
         r8 = r8.at[0:3].set(wrap_positions(r8[0:3], L))
-        new_slot, overflow = rebin_slots(r8, r8[3, :], grid, z_order=False)
-        stacked = jnp.concatenate(
-            [r8, ru8, v8] + ([vc8] if compensated else []), axis=0
+        old_of_new, valid_new, overflow = rebin_gather(
+            r8, r8[3, :], grid, z_order=False
         )
-        out = jnp.zeros((stacked.shape[0], ns + 1), dtype)
-        out = out.at[:, new_slot].set(stacked)[:, :ns]
-        perm = [out[8 * i:8 * (i + 1)] for i in range(stacked.shape[0] // 8)]
-        r8p = perm[0]
+        vmask = valid_new.astype(dtype)
+        parts = [r8[0:3], r8[4:5], ru8[0:3], v8[0:3]] + (
+            [vc8[0:3]] if compensated else []
+        )
+        stacked = jnp.concatenate(parts, axis=0)[:, old_of_new] * vmask[None, :]
+        pad3 = jnp.zeros((3, ns), dtype)
+        pad5 = jnp.zeros((5, ns), dtype)
+        r8p = jnp.concatenate(
+            [stacked[0:3], vmask[None, :], stacked[3:4], pad3], axis=0
+        )
+        ru8p = jnp.concatenate([stacked[4:7], pad5], axis=0)
+        v8p = jnp.concatenate([stacked[7:10], pad5], axis=0)
+        vc8p = (
+            jnp.concatenate([stacked[10:13], pad5], axis=0)
+            if compensated else vc8
+        )
         return (
-            r8p, perm[1], perm[2],
+            r8p, ru8p, v8p,
             jnp.zeros_like(r8p),  # position compensation resets at the wrap
-            perm[3] if compensated else vc8,
+            vc8p,
             r8p, overflow,
         )
 
