@@ -323,3 +323,62 @@ def test_unfused_run_fast_through_production_driver():
         np.asarray(got.series), np.asarray(want.series),
         rtol=1e-9, atol=1e-11,
     )
+
+
+def _iter_eqns(jaxpr):
+    """All eqns in a jaxpr, recursing into sub-jaxprs carried in params
+    (scan/cond/while/pjit bodies) but NOT into pallas_call kernels — the
+    in-kernel fori_loop is Mosaic's, not part of the XLA graph the v5e
+    miscompile guards care about."""
+    for eqn in jaxpr.eqns:
+        yield eqn
+        if eqn.primitive.name == "pallas_call":
+            continue
+        for v in eqn.params.values():
+            for o in v if isinstance(v, (list, tuple)) else (v,):
+                sub = getattr(o, "jaxpr", o)
+                if hasattr(sub, "eqns"):
+                    yield from _iter_eqns(sub)
+
+
+def test_miscompile_workarounds_stay_in_place():
+    """Structural regression guards for the two v5e XLA miscompiles
+    (docs/RESULTS.md "v5e XLA miscompiles"; CLAUDE.md invariants). Neither
+    bug reproduces on CPU, so no behavioral test here can catch a
+    regression — physics corrupts silently ONLY on TPU, and only
+    scripts/check_conservation.py sees it. These assert the structure that
+    avoids them instead.
+
+    (a) rebin_gather must stay un-jitted and searchsorted-free: a
+        searchsorted next to a live lax.scan in the same compiled module
+        returns lane-tile-granular corrupt counts at N=131072.
+    (b) run_fast_unfused's inner chunk steps must stay UNROLLED: a
+        lax.scan over the per-step sweeps downstream of the gather rebin
+        injects energy. The ONLY scan in its graph must be the outer
+        once-per-chunk loop.
+    """
+    from ljmd_tpu.ops import cell_list
+
+    # (a) plain function (no jit wrapper) ...
+    assert type(cell_list.rebin_gather).__name__ == "function", (
+        "rebin_gather must not be wrapped in jax.jit (v5e miscompile guard)"
+    )
+    # ... whose code object never loads the name 'searchsorted' (co_names
+    # lists names the code actually references; the docstring does not count)
+    assert "searchsorted" not in cell_list.rebin_gather.__code__.co_names, (
+        "rebin_gather must stay searchsorted-free (v5e miscompile guard)"
+    )
+
+    # (b) exactly one scan — the outer chunk loop — and nothing scanned
+    # inside it (inner_chunk=8 in the unfused driver; 16 steps -> length-2
+    # outer scan, the regime where the miscompile fired)
+    cfg = big_cfg(neighbor_skin=0.3)
+    state = initialize(cfg, backend="dense")
+    eng = _cellpair_engine(cfg, use_fused=False)
+    c0, _ = eng.init(state)
+    closed = jax.make_jaxpr(lambda c: eng.run_fast(c, 16))(c0)
+    scans = [e for e in _iter_eqns(closed.jaxpr) if e.primitive.name == "scan"]
+    assert len(scans) == 1, (
+        f"run_fast_unfused must contain exactly the outer chunk scan, found "
+        f"{len(scans)} (inner steps must stay unrolled — v5e miscompile guard)"
+    )
