@@ -183,6 +183,8 @@ def _pallas_rows_engine(
     interpret: bool | None = None,
     triangular: bool = True,
     compensated: bool | None = None,
+    tile_i: int | None = None,
+    tile_j: int | None = None,
 ) -> Engine:
     """Dense Pallas backend with a layout-native carry.
 
@@ -209,9 +211,26 @@ def _pallas_rows_engine(
     n = cfg.n
     # tile_i/tile_j are both LANE dimensions of their block specs, so each
     # must be a multiple of 128 on real TPUs (interpret mode is laxer and
-    # masked this for tiny N). Best v5e shape: TI=128, TJ=1024.
-    tile_i = 128
-    tile_j = 1024 if n >= 1024 else 128
+    # masked this for tiny N). Best v5e shape: TI=128, TJ=1024 at mid N;
+    # below 1024 particles a SINGLE j-tile spanning n_pad wins (fewer tile
+    # visits; each visit pays ~0.4us of slice/reduction overhead).
+    if tile_i is None:
+        tile_i = 128
+    if tile_j is None:
+        if n >= 1024:
+            tile_j = 1024
+        else:
+            # Small-N sweep (scripts/exp_smalln.py, v5e): TJ = n_pad/2 wins
+            # at n_pad=512 (3.55 vs 3.73 us/step at N=500), TJ=128 at
+            # n_pad=256; a single whole-row j-tile loses (4.07). Pick the
+            # largest 128-multiple divisor of n_pad that is <= n_pad/2.
+            p = _round_up(n, 128)
+            nb = p // 128
+            best = 1
+            for d in range(1, nb // 2 + 1):
+                if nb % d == 0 and 2 * d <= nb:
+                    best = max(best, d)
+            tile_j = 128 * best
     n_pad = _round_up(n, max(tile_i, tile_j))
     L = cfg.box_length
     dtype = _effective_dtype(cfg)

@@ -211,10 +211,19 @@ def initialize(
 
     if cfg.warmup_steps > 0:
         carry, _ = engine.init(state)
-        carry, _ = _advance(
-            carry, engine.step, cfg.warmup_steps, dtype,
+        # The warmup advance must run under jit even when initialize() is
+        # called eagerly: an EAGER engine.run_fast dispatches each fused
+        # Pallas chunk as its own one-op module with layout-forcing operand
+        # copies, and at the VMEM-budget edge (N=62500 cap=384) that
+        # standalone compile OOMs scoped vmem by ~80KB while the identical
+        # kernel inside a jitted module compiles fine (scripts/
+        # exp_vmemprobe{,2}.py, 2026-08-18). Nested jit is free when the
+        # caller is already jitted (inlined).
+        warm = jax.jit(lambda c: _advance(
+            c, engine.step, cfg.warmup_steps, dtype,
             fast_fn=engine.step_fast, want_obs=False, run_fast=engine.run_fast,
-        )
+        )[0])
+        carry = warm(carry)
         state = engine.get_state(carry)
     # Reset unwrapped coordinates: production starts its own MSD clock with
     # ru(0) = r(0) (md_simulation_program.f90:229-231).

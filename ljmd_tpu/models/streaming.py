@@ -92,10 +92,13 @@ def run_production_streaming(
         series_done = np.zeros((5, 0), dtype=np.float64)
         ecarry, _ = engine.init(state)
         if prologue:
-            ecarry, _ = _advance(
-                ecarry, engine.step, prologue, dtype,
+            # jit: an eager run_fast dispatches each fused chunk standalone,
+            # which OOMs scoped vmem at the budget edge (see
+            # models/simulation.initialize and scripts/exp_vmemprobe2.py).
+            ecarry = jax.jit(lambda c: _advance(
+                c, engine.step, prologue, dtype,
                 fast_fn=engine.step_fast, want_obs=False, run_fast=engine.run_fast,
-            )
+            )[0])(ecarry)
 
     @partial(jax.jit, static_argnames=("k",))
     def chunk(ec, acc, k: int):
@@ -145,10 +148,10 @@ def run_production_streaming(
             writer.close()
 
     if epilogue:
-        ecarry, _ = _advance(
-            ecarry, engine.step, epilogue, dtype,
+        ecarry = jax.jit(lambda c: _advance(
+            c, engine.step, epilogue, dtype,
             fast_fn=engine.step_fast, want_obs=False, run_fast=engine.run_fast,
-        )
+        )[0])(ecarry)
     final_state = engine.get_state(ecarry)
     diagnostics = engine.diagnostics(ecarry)
 
