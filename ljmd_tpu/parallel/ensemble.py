@@ -19,6 +19,7 @@ the only collective (SURVEY §5.8).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -110,6 +111,17 @@ def ensemble_simulate(
         key = jax.random.PRNGKey(cfg.seed)
     keys = jax.random.split(key, r)
 
+    if mesh is not None:
+        keys = jax.device_put(keys, NamedSharding(mesh, P(REPLICA_AXIS, None)))
+        agg, results = _batched_ensemble_fn(cfg, backend)(keys)
+    elif jit:
+        agg, results = _batched_ensemble_fn(cfg, backend)(keys)
+    else:
+        agg, results = _make_batched(cfg, backend)(keys)
+    return (agg, results) if keep_per_replica else agg
+
+
+def _make_batched(cfg: SimConfig, backend: str):
     def one(k) -> SimResult:
         state = initialize(cfg, k, backend=backend)
         return run_production(cfg, state, backend=backend, record_frames=False)
@@ -118,14 +130,16 @@ def ensemble_simulate(
         results = jax.vmap(one)(ks)
         return ensemble_aggregate(cfg, results), results
 
-    if mesh is not None:
-        keys = jax.device_put(keys, NamedSharding(mesh, P(REPLICA_AXIS, None)))
-        agg, results = jax.jit(batched)(keys)
-    elif jit:
-        agg, results = jax.jit(batched)(keys)
-    else:
-        agg, results = batched(keys)
-    return (agg, results) if keep_per_replica else agg
+    return batched
+
+
+@functools.lru_cache(maxsize=8)
+def _batched_ensemble_fn(cfg: SimConfig, backend: str):
+    """Cached jitted ensemble pipeline. SimConfig is hashable by design; a
+    fresh closure per call would re-TRACE the whole vmapped pipeline every
+    invocation (~2.7s at 64 x N=256 even with the XLA compile cached —
+    measured, scripts/exp_ensemble.py)."""
+    return jax.jit(_make_batched(cfg, backend))
 
 
 def replica_result(results: SimResult, i: int) -> SimResult:
