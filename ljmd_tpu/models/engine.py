@@ -430,6 +430,7 @@ def _zsort_engine(
     n_pad: int | None = None,
     mxu_reduce: bool = False,
     trigger: str = "always",
+    tail_tiles: bool = True,
 ) -> Engine:
     """Dense fused engine with sorted tile skipping.
 
@@ -442,7 +443,12 @@ def _zsort_engine(
     discrimination (tiles in non-adjacent slabs are skipped) at the cost
     of coarser z-intervals per block; it pays once the per-slab z-window
     spans many j-tiles (large n), and loses at small n where the
-    per-visit floor dominates (``slab_sort=None`` picks by n). The order
+    per-visit floor dominates (``slab_sort=None`` picks by n).
+    ``tail_tiles`` (default on) emits each window cover's last visit at
+    its exact active width instead of a full tile_j slice (per-width tail
+    lists, full-MIC masked sweep body) — removes the cover-end
+    quantization waste (measured 46.4 us/step of 394 at N=16384 slab;
+    3.4 us at N=4000 — scripts/exp_tailwaste.py). The order
     and flags refresh every ``inner_chunk`` steps between fused kernels
     under the ``trigger`` policy: "always" (default) rebuilds
     unconditionally — branchless, no displacement check, skin sized to
@@ -612,7 +618,9 @@ def _zsort_engine(
             cross_margin=0.6 * sort_skin,
         )
         if interpret:
-            tiles, tcounts = build_window_lists(flags, n, n_pad, tile_i, tile_j)
+            tiles, tcounts = build_window_lists(
+                flags, n, n_pad, tile_i, tile_j, tail_tiles=tail_tiles
+            )
         else:
             # One-kernel pack: the jnp builder's non-fusable small ops cost
             # ~106us/rebuild on v5e (scripts/exp_winlist.py). zero_fill
@@ -620,7 +628,8 @@ def _zsort_engine(
             # and the 9*max_t scalar zero writes dominate the pack at
             # mid N (51k SMEM writes at n_pad=16384).
             tiles, tcounts = build_window_lists_pallas(
-                flags, n, n_pad, tile_i, tile_j, zero_fill=False
+                flags, n, n_pad, tile_i, tile_j, zero_fill=False,
+                tail_tiles=tail_tiles,
             )
         # NOTE (measured dead end, 2026-08-18): round-robin interleaving
         # of visits across i-rows (to break the same-slice f_acc RMW

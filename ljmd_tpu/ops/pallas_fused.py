@@ -683,24 +683,30 @@ def _pack_window_kernel(
     tile_j: int,
     max_t: int,
     zero_fill: bool,
+    tail_tiles: bool = False,
 ):
     """Scalar-core greedy cover + pack in ONE kernel launch. The jnp
     builder's ~20 non-fusable ops (cummax/scatter/nonzero/gathers) cost
     ~106us per rebuild on v5e (measured, scripts/exp_winlist.py) — pure
     per-op overhead on tiny arrays. This is the same computation as a
     single sequential loop (~10us). Loop bounds come from SMEM so Mosaic
-    treats them as dynamic and does not unroll the nested loops."""
+    treats them as dynamic and does not unroll the nested loops.
+
+    ``tail_tiles``: see ``build_window_lists`` — emissions whose last
+    active block lies < span blocks ahead go to per-width tail lists."""
     g = tile_i
     span = tile_j // g
+    n_tails = span - 1 if tail_tiles and span > 1 else 0
+    n_rows = 9 + 2 * n_tails
     n_b_dyn = bounds_ref[1]
     max_start = n_b_dyn - span
 
-    for c in range(4):
+    for c in range(4 + n_tails):
         tcounts_ref[c] = 0
 
     if zero_fill:
         def zero_body(k, carry):
-            for rr in range(9):
+            for rr in range(n_rows):
                 tiles_ref[rr, k] = 0
             return carry
 
@@ -716,34 +722,57 @@ def _pack_window_kernel(
                 s = jnp.minimum(b, max_start)
                 zneed = (f & 2) != 0
                 xneed = (f & 4) != 0
+                width = jnp.int32(1)
                 for k in range(1, span):
                     cb = b + k
                     fz = flags_ref[row * n_b_dyn + jnp.minimum(cb, n_b_dyn - 1)]
                     live = cb < n_b_dyn
                     zneed = zneed | (live & ((fz & 2) != 0))
                     xneed = xneed | (live & ((fz & 4) != 0))
-                needs_mask = (
-                    (s * g < row * tile_i + tile_i)
-                    | (s * g + tile_j > n)
-                    | (row * tile_i + tile_i > n)
-                    | (b > s)
-                )
-                cat = jnp.where(
-                    needs_mask, 3, jnp.where(zneed, 2, jnp.where(xneed, 1, 0))
-                )
-                k0 = tcounts_ref[cat]
-                tiles_ref[2 * cat, k0] = row
-                tiles_ref[2 * cat + 1, k0] = s
+                    if n_tails:
+                        width = jnp.where(live & (fz > 0), k + 1, width)
 
-                # Row 8 (the masked category's jmin) must be WRITTEN for
-                # every masked visit, not only clamped ones — without
-                # zero_fill an unwritten slot is SMEM garbage and the
-                # sweep kernel reads it for every masked visit.
-                @pl.when(cat == 3)
-                def _jmin():
-                    tiles_ref[8, k0] = jnp.where(b > s, b, 0)
+                if n_tails:
+                    # Tail emission: exact active width, start AT the
+                    # block (never clamped), full-MIC masked sweep body.
+                    for tw in range(1, span):
+                        @pl.when(width == tw)
+                        def _tail(tw=tw):
+                            kt = tcounts_ref[4 + tw - 1]
+                            tiles_ref[9 + 2 * (tw - 1), kt] = row
+                            tiles_ref[9 + 2 * (tw - 1) + 1, kt] = b
+                            tcounts_ref[4 + tw - 1] = kt + 1
 
-                tcounts_ref[cat] = k0 + 1
+                def _bulk():
+                    needs_mask = (
+                        (s * g < row * tile_i + tile_i)
+                        | (s * g + tile_j > n)
+                        | (row * tile_i + tile_i > n)
+                        | (b > s)
+                    )
+                    cat = jnp.where(
+                        needs_mask, 3,
+                        jnp.where(zneed, 2, jnp.where(xneed, 1, 0)),
+                    )
+                    k0 = tcounts_ref[cat]
+                    tiles_ref[2 * cat, k0] = row
+                    tiles_ref[2 * cat + 1, k0] = s
+
+                    # Row 8 (the masked category's jmin) must be WRITTEN
+                    # for every masked visit, not only clamped ones —
+                    # without zero_fill an unwritten slot is SMEM garbage
+                    # and the sweep kernel reads it for every masked
+                    # visit.
+                    @pl.when(cat == 3)
+                    def _jmin():
+                        tiles_ref[8, k0] = jnp.where(b > s, b, 0)
+
+                    tcounts_ref[cat] = k0 + 1
+
+                if n_tails:
+                    pl.when(width == span)(_bulk)
+                else:
+                    _bulk()
 
             return jnp.where(trig, b + span, covered)
 
@@ -763,7 +792,7 @@ def _pack_window_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("n", "n_pad", "tile_i", "tile_j", "interpret",
-                     "zero_fill"),
+                     "zero_fill", "tail_tiles"),
 )
 def build_window_lists_pallas(
     flags: jax.Array,
@@ -773,6 +802,7 @@ def build_window_lists_pallas(
     tile_j: int,
     interpret: bool = False,
     zero_fill: bool = True,
+    tail_tiles: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """``build_window_lists`` as one Pallas kernel (same contract; the two
     are parity-tested against each other). Use on TPU where the jnp
@@ -788,9 +818,10 @@ def build_window_lists_pallas(
     n_i = n_pad // tile_i
     n_b = n_pad // tile_i
     max_t = _window_max_t(n_pad, tile_i, tile_j)
+    n_tails = (tile_j // tile_i) - 1 if tail_tiles else 0
     kernel = functools.partial(
         _pack_window_kernel, n=n, tile_i=tile_i, tile_j=tile_j, max_t=max_t,
-        zero_fill=zero_fill,
+        zero_fill=zero_fill, tail_tiles=tail_tiles,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     bounds = jnp.array([n_i, n_b], dtype=jnp.int32)
@@ -810,8 +841,8 @@ def build_window_lists_pallas(
         in_specs=[smem, smem, smem],
         out_specs=[smem, smem],
         out_shape=[
-            jax.ShapeDtypeStruct((9, max_t), jnp.int32),
-            jax.ShapeDtypeStruct((4,), jnp.int32),
+            jax.ShapeDtypeStruct((9 + 2 * n_tails, max_t), jnp.int32),
+            jax.ShapeDtypeStruct((4 + n_tails,), jnp.int32),
         ],
         interpret=interpret,
     )(bounds, rowspan, flags.astype(jnp.int32))
@@ -823,6 +854,7 @@ def build_window_lists(
     n_pad: int,
     tile_i: int,
     tile_j: int,
+    tail_tiles: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Greedy run-cover visit lists at ``tile_i``-granular j starts.
 
@@ -858,7 +890,18 @@ def build_window_lists(
       3 "masked" — diagonal-crossing / padding / clamped visits (full
         MIC + masks).
     Row 8 is the masked category's jmin block index (0 for the other rows
-    and for ordinary masked visits). Entries past the counts are zero."""
+    and for ordinary masked visits). Entries past the counts are zero.
+
+    ``tail_tiles``: emit each cover's LAST visit at its exact active width
+    instead of the full ``tile_j`` when fewer than span blocks remain
+    active — the trailing (span - w) blocks of a full-width tail are pure
+    pair-math waste (measured 46.4 us/step of 394 at N=16384 slab,
+    scripts/exp_tailwaste.py; only 3.4 us at N=4000 where runs are long).
+    Tail visits land in per-width lists: rows 9 + 2*(w-1) / +1 hold the
+    i/j block indices of width-w tails (w in 1..span-1), counts at
+    tcounts[4 + w - 1]; the sweep kernel runs them through a full-MIC
+    masked body (no category specialization — tails are a small slot
+    fraction). Returns shapes ((9 + 2*(span-1), max_t), (4 + span-1,))."""
     g = tile_i
     span = tile_j // g
     n_i = n_pad // tile_i
@@ -914,6 +957,22 @@ def build_window_lists(
     zneed = windowed_any(2)
     xneed = windowed_any(4)
 
+    if tail_tiles and span > 1:
+        # Exact cover width at each emission: 1 + the offset of the LAST
+        # active block within the span window (blocks past it are pure
+        # waste; blocks before it inside the window stay covered even if
+        # inactive — same semantics as the full-width cover).
+        shifted = jnp.stack([
+            jnp.pad(trigger, ((0, 0), (0, k)))[:, k:k + n_b] * (k + 1)
+            for k in range(span)
+        ])
+        width = shifted.max(axis=0)  # (n_i, n_b); >= 1 wherever emit holds
+        is_tail = emit & (width < span)
+        emit_bulk = emit & ~is_tail
+    else:
+        is_tail = jnp.zeros_like(emit)
+        emit_bulk = emit
+
     i_lo = it * tile_i
     s_lo = starts * g
     needs_mask = (
@@ -922,8 +981,8 @@ def build_window_lists(
         | (i_lo + tile_i > n)           # padding rows
         | (origs > starts)              # clamped: jmin prefix mask active
     )
-    maskd = emit & needs_mask
-    pure = emit & ~needs_mask
+    maskd = emit_bulk & needs_mask
+    pure = emit_bulk & ~needs_mask
     cat_free = pure & ~zneed & ~xneed
     cat_x = pure & ~zneed & xneed
     cat_full = pure & zneed
@@ -943,10 +1002,15 @@ def build_window_lists(
     # A clamped visit's jmin prefix is pure slack; zero jmin (== "no
     # prefix mask") for unclamped masked visits keeps the mask a no-op.
     mjmin = jnp.where(mjmin > mj, mjmin, 0)
-    return (
-        jnp.stack([ai, aj, xi, xj, wi, wj, mi, mj, mjmin]),
-        jnp.stack([na, nx, nw, nm]),
-    )
+    tile_rows = [ai, aj, xi, xj, wi, wj, mi, mj, mjmin]
+    counts = [na, nx, nw, nm]
+    if tail_tiles and span > 1:
+        for w in range(1, span):
+            # Tail visits start AT the block (never clamped: b + w <= n_b).
+            twi, twj, ntw = pack(is_tail & (width == w), rows, origs)
+            tile_rows += [twi, twj]
+            counts.append(ntw)
+    return jnp.stack(tile_rows), jnp.stack(counts)
 
 
 def _fused_dense_list_kernel(
@@ -966,9 +1030,11 @@ def _fused_dense_list_kernel(
     dual_acc: bool = True,
     j_granule: int | None = None,
     mxu_reduce: bool = False,
+    n_tails: int = 0,
 ):
     jg = tile_j if j_granule is None else j_granule
     has_jmin = j_granule is not None
+    assert n_tails == 0 or has_jmin, "tail lists require the window contract"
     n_state = 5 if extended else 3
     ins = args[:n_state]
     outs = args[n_state:2 * n_state]
@@ -1018,22 +1084,26 @@ def _fused_dense_list_kernel(
         f_acc[:, :] = jnp.zeros_like(f_acc)
         f_acc2[:, :] = jnp.zeros_like(f_acc2)
 
-        def visit(row, t, masked, fa, mic_z=True, mic_x=True):
+        def visit(row, t, masked, fa, mic_z=True, mic_x=True,
+                  width=tile_j, use_jmin=False):
             """One (i,j) tile visit accumulating into ``fa``. ``mic_z=False``
             / ``mic_x=False`` skip that axis's minimum-image round() — valid
             only for visit categories whose covered blocks all lack the
             axis's round bit (no wrapped image within the window, no face
-            -crossing hazard; see compute_tile_flags)."""
+            -crossing hazard; see compute_tile_flags). ``width`` (static,
+            a multiple of tile_i) is the j-slice width — tail visits
+            (exact-width cover ends, see build_window_lists) use
+            width < tile_j."""
             i_lo = tiles_ref[row, t] * tile_i
             j_lo = tiles_ref[row + 1, t] * jg
             isl = pl.ds(i_lo, tile_i)
-            jsl = pl.ds(j_lo, tile_j)
+            jsl = pl.ds(j_lo, width)
             xi = r_out[0, isl].reshape(tile_i, 1)
             yi = r_out[1, isl].reshape(tile_i, 1)
             zi = r_out[2, isl].reshape(tile_i, 1)
-            xj = r_out[0, jsl].reshape(1, tile_j)
-            yj = r_out[1, jsl].reshape(1, tile_j)
-            zj = r_out[2, jsl].reshape(1, tile_j)
+            xj = r_out[0, jsl].reshape(1, width)
+            yj = r_out[1, jsl].reshape(1, width)
+            zj = r_out[2, jsl].reshape(1, width)
             dx = xi - xj
             dy = yi - yj
             dz = zi - zj
@@ -1041,11 +1111,11 @@ def _fused_dense_list_kernel(
                 # Two-float pair-displacement correction (restores the
                 # sub-ulp position bits, see _fused_dense_kernel doc).
                 dx = dx + (rlo_out[0, isl].reshape(tile_i, 1)
-                           - rlo_out[0, jsl].reshape(1, tile_j))
+                           - rlo_out[0, jsl].reshape(1, width))
                 dy = dy + (rlo_out[1, isl].reshape(tile_i, 1)
-                           - rlo_out[1, jsl].reshape(1, tile_j))
+                           - rlo_out[1, jsl].reshape(1, width))
                 dz = dz + (rlo_out[2, isl].reshape(tile_i, 1)
-                           - rlo_out[2, jsl].reshape(1, tile_j))
+                           - rlo_out[2, jsl].reshape(1, width))
             if mic_x:
                 dx = dx - L * jnp.round(dx * inv_l)
             dy = dy - L * jnp.round(dy * inv_l)
@@ -1060,15 +1130,15 @@ def _fused_dense_list_kernel(
                 # geometry: gj > gi <=> dmat > i_lo - j_lo, etc.
                 mask = (
                     mask
-                    & (dmat > i_lo - j_lo)
-                    & (jrow < n - j_lo)
+                    & (dmat[:, :width] > i_lo - j_lo)
+                    & (jrow[:, :width] < n - j_lo)
                     & (icol < n - i_lo)
                 )
-                if has_jmin:
+                if use_jmin:
                     # Window-list clamped visits: exclude the slice prefix
                     # already covered by an earlier visit of this i-row
                     # (jmin == 0 for ordinary masked visits -> no-op).
-                    mask = mask & (jrow >= tiles_ref[8, t] * jg - j_lo)
+                    mask = mask & (jrow[:, :width] >= tiles_ref[8, t] * jg - j_lo)
             coef, _du, _e, _ddu = lj_pair_terms(
                 r2, mask, approx_reciprocal, want_observables=False
             )
@@ -1085,7 +1155,7 @@ def _fused_dense_list_kernel(
                 # accumulation match the VPU reduction bit-for-bit up to
                 # summation order.
                 dtt = fx.dtype
-                ones_j = jnp.ones((tile_j, 8), dtt)
+                ones_j = jnp.ones((width, 8), dtt)
                 ones_i = jnp.ones((8, tile_i), dtt)
                 si = jax.lax.dot_general(
                     fx, ones_j, (((1,), (0,)), ((), ())),
@@ -1146,37 +1216,64 @@ def _fused_dense_list_kernel(
                 (2, False, True, True),
                 (4, True, True, True),
             )
+        # Tail lists (exact-width cover ends): rows 9 + 2*(w-1), counts at
+        # tcounts[4 + w - 1], run through the full-MIC masked body at
+        # width w*tile_i (see build_window_lists tail_tiles).
+        tail_rows = tuple(
+            (9 + 2 * (w - 1), 4 + w - 1, w * tile_i)
+            for w in range(1, n_tails + 1)
+        )
         if dual_acc:
-            def make_pair_body(row, masked, mic_z, mic_x):
+            def make_pair_body(row, masked, mic_z, mic_x, width, use_jmin):
                 def body(t, c2):
-                    visit(row, 2 * t, masked, f_acc, mic_z, mic_x)
-                    visit(row, 2 * t + 1, masked, f_acc2, mic_z, mic_x)
+                    visit(row, 2 * t, masked, f_acc, mic_z, mic_x,
+                          width=width, use_jmin=use_jmin)
+                    visit(row, 2 * t + 1, masked, f_acc2, mic_z, mic_x,
+                          width=width, use_jmin=use_jmin)
                     return c2
 
                 return body
 
-            for row, masked, mic_z, mic_x in categories:
-                cnt = tcounts_ref[row // 2]
-                jax.lax.fori_loop(0, cnt // 2,
-                                  make_pair_body(row, masked, mic_z, mic_x), 0)
+            def run_dual(row, cidx, masked, mic_z, mic_x, width, use_jmin):
+                cnt = tcounts_ref[cidx]
+                jax.lax.fori_loop(
+                    0, cnt // 2,
+                    make_pair_body(row, masked, mic_z, mic_x, width,
+                                   use_jmin), 0,
+                )
 
                 @pl.when(cnt % 2 == 1)
-                def _odd_tail(row=row, masked=masked, mic_z=mic_z,
-                              mic_x=mic_x, cnt=cnt):
-                    visit(row, cnt - 1, masked, f_acc, mic_z, mic_x)
+                def _odd_tail():
+                    visit(row, cnt - 1, masked, f_acc, mic_z, mic_x,
+                          width=width, use_jmin=use_jmin)
+
+            for row, masked, mic_z, mic_x in categories:
+                run_dual(row, row // 2, masked, mic_z, mic_x, tile_j,
+                         masked and has_jmin)
+            for row, cidx, width in tail_rows:
+                run_dual(row, cidx, True, True, True, width, False)
 
             a_out[:, :] = 24.0 * (f_acc[:, :] + f_acc2[:, :])
         else:
-            def make_body(row, masked, mic_z, mic_x):
+            def make_body(row, masked, mic_z, mic_x, width, use_jmin):
                 def body(t, c2):
-                    visit(row, t, masked, f_acc, mic_z, mic_x)
+                    visit(row, t, masked, f_acc, mic_z, mic_x,
+                          width=width, use_jmin=use_jmin)
                     return c2
 
                 return body
 
             for row, masked, mic_z, mic_x in categories:
-                jax.lax.fori_loop(0, tcounts_ref[row // 2],
-                                  make_body(row, masked, mic_z, mic_x), 0)
+                jax.lax.fori_loop(
+                    0, tcounts_ref[row // 2],
+                    make_body(row, masked, mic_z, mic_x, tile_j,
+                              masked and has_jmin), 0,
+                )
+            for row, cidx, width in tail_rows:
+                jax.lax.fori_loop(
+                    0, tcounts_ref[cidx],
+                    make_body(row, True, True, True, width, False), 0,
+                )
             a_out[:, :] = 24.0 * f_acc[:, :]
         if extended:
             _comp_add(v_out, vc_out, a_out[:, :] * half_dt)
@@ -1241,6 +1338,9 @@ def fused_dense_chunk_list(
         raise ValueError(f"n_steps={n_steps} exceeds MAX_CHUNK_STEPS={MAX_CHUNK_STEPS}")
     extended = r_lo is not None
     n_pad = r.shape[1]
+    # Tail lists are present iff the builder emitted the extended row
+    # layout (window contract only): rows 9 + 2*(span-1).
+    n_tails = (tiles.shape[0] - 9) // 2 if j_granule is not None else 0
     kernel = functools.partial(
         _fused_dense_list_kernel,
         n=n,
@@ -1256,6 +1356,7 @@ def fused_dense_chunk_list(
         dual_acc=dual_acc,
         j_granule=j_granule,
         mxu_reduce=mxu_reduce,
+        n_tails=n_tails,
     )
     n_state = 5 if extended else 3
     out_shape = [jax.ShapeDtypeStruct((8, n_pad), r.dtype)] * n_state

@@ -40,6 +40,8 @@ def main(n_steps: int, variants):
             return _zsort_engine(cfg)
         if name == "zsortext":
             return _zsort_engine(cfg, extended=True)
+        if name == "zsort_notails":
+            return _zsort_engine(cfg, tail_tiles=False)
         raise ValueError(name)
 
     check_every = 10_000

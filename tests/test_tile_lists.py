@@ -104,6 +104,19 @@ def _window_cover_oracle(flags, n, n_pad, tile_i, tile_j, builder=None):
     counts = tuple(int(x) for x in np.asarray(tcounts))
     cover = np.zeros((n_i, n_pad), dtype=int)
     visits = []
+    # Tail lists (tail_tiles builders): rows 9 + 2*(w-1), counts[4 + w-1],
+    # width w*g, start at the block, masked full-MIC semantics.
+    span = tile_j // g
+    n_tails = (tiles.shape[0] - 9) // 2
+    for w in range(1, n_tails + 1):
+        row = 9 + 2 * (w - 1)
+        for k in range(counts[4 + w - 1]):
+            it, sb = int(tiles[row, k]), int(tiles[row + 1, k])
+            j_lo = sb * g
+            assert j_lo + w * g <= n_pad, "tail slice out of bounds"
+            cols = np.arange(j_lo, j_lo + w * g)
+            cover[it, cols[cols < n]] += 1
+            visits.append(("tail", it, sb, 0))
     cats = ((0, "free"), (2, "xmic"), (4, "full"), (6, "masked"))
     for (row, cat), cnt in zip(cats, counts):
         for k in range(cnt):
@@ -243,3 +256,117 @@ def test_window_lists_pallas_no_zero_fill_prefix_matches():
             assert (t1[2 * cat, :k] == t2[2 * cat, :k]).all()
             assert (t1[2 * cat + 1, :k] == t2[2 * cat + 1, :k]).all()
         assert (t1[8, : int(c1[3])] == t2[8, : int(c1[3])]).all()
+
+
+def test_window_lists_tail_tiles_cover_exactly_once():
+    """tail_tiles=True: exact-width cover ends. Every active above-diagonal
+    block still covered exactly once (tails + bulk disjoint), and no tail
+    slice leaves [0, n_pad). Random flags include interior holes, so this
+    also pins the hole semantics (width = last active offset + 1)."""
+    import functools
+
+    rng = np.random.default_rng(31)
+    jb = functools.partial(build_window_lists, tail_tiles=True)
+    for n, n_pad, ti, tj in ((4000, 4096, 128, 512), (500, 512, 128, 512),
+                             (2048, 2048, 128, 384)):
+        n_i = n_pad // ti
+        flags = jnp.asarray(
+            rng.integers(0, 8, size=(n_i * n_i,)).astype(np.int32)
+        )
+        cover, visits, counts = _window_cover_oracle(
+            flags, n, n_pad, ti, tj, builder=jb
+        )
+        assert len(counts) == 4 + tj // ti - 1
+        f2 = np.asarray(flags).reshape(n_i, n_i)
+        for it in range(n_i):
+            for b in range(n_i):
+                cols = slice(b * ti, (b + 1) * ti)
+                assert cover[it, cols].max() <= 1, (it, b, "double cover")
+                if f2[it, b] > 0 and b >= it and b * ti < n:
+                    real = np.arange(b * ti, min((b + 1) * ti, n))
+                    assert (cover[it, real] == 1).all(), (it, b, "missed")
+        # tails must actually fire on random flags
+        assert sum(counts[4:]) > 0
+
+
+def test_window_lists_pallas_tails_match_jnp():
+    """The scalar pack kernel's tail emission (sequential greedy) must
+    produce the same lists as the jnp closed form on random flags."""
+    import functools
+    from ljmd_tpu.ops.pallas_fused import build_window_lists_pallas
+
+    jb = functools.partial(build_window_lists, tail_tiles=True)
+    pb = functools.partial(
+        build_window_lists_pallas, interpret=True, tail_tiles=True
+    )
+    rng = np.random.default_rng(37)
+    # (a) random flags (with holes): the two covers may legally differ in
+    # PLACEMENT (the jnp closed form anchors the grid at cluster starts,
+    # the scalar scan at post-coverage triggers — a known divergence on
+    # hole patterns that real interval-shaped windows never produce);
+    # require the exactly-once contract from each independently.
+    for n, n_pad, ti, tj in ((4000, 4096, 128, 512), (2048, 2048, 128, 384)):
+        n_i = n_pad // ti
+        flags = jnp.asarray(
+            rng.integers(0, 8, size=(n_i * n_i,)).astype(np.int32)
+        )
+        f2 = np.asarray(flags).reshape(n_i, n_i)
+        for builder in (jb, pb):
+            cover, _, _ = _window_cover_oracle(
+                flags, n, n_pad, ti, tj, builder=builder
+            )
+            for it in range(n_i):
+                for b in range(n_i):
+                    cols = slice(b * ti, (b + 1) * ti)
+                    assert cover[it, cols].max() <= 1, (it, b)
+                    if f2[it, b] > 0 and b >= it and b * ti < n:
+                        real = np.arange(b * ti, min((b + 1) * ti, n))
+                        assert (cover[it, real] == 1).all(), (it, b)
+    # (b) interval flags (one contiguous active run per row — the shape
+    # real z-window flags have): the builders must agree EXACTLY,
+    # including tail lists.
+    n, n_pad, ti, tj = 4000, 4096, 128, 512
+    n_i = n_pad // ti
+    f2 = np.zeros((n_i, n_i), dtype=np.int32)
+    for it in range(n_i):
+        lo = max(0, it - rng.integers(0, 4))
+        hi = min(n_i, it + int(rng.integers(1, 9)))
+        f2[it, lo:hi] = rng.choice([1, 3, 5, 7], size=hi - lo)
+    flags = jnp.asarray(f2.ravel())
+    t1, k1 = jb(flags, n, n_pad, ti, tj)
+    t2, k2 = pb(flags, n, n_pad, ti, tj)
+    t1, t2 = np.asarray(t1), np.asarray(t2)
+    k1, k2 = np.asarray(k1), np.asarray(k2)
+    assert (k1 == k2).all(), (k1, k2)
+    assert k1[4:].sum() > 0  # tails fired
+    for c in range(len(k1)):
+        row = 2 * c if c < 4 else 9 + 2 * (c - 4)
+        cnt = int(k1[c])
+        assert (t1[row, :cnt] == t2[row, :cnt]).all(), c
+        assert (t1[row + 1, :cnt] == t2[row + 1, :cnt]).all(), c
+
+
+def test_zsort_engine_tail_tiles_physics_invariant():
+    """Engine trajectories with tail_tiles on/off must agree to roundoff:
+    tails only remove never-in-range candidate slots."""
+    from ljmd_tpu.config import config_from_density
+    from ljmd_tpu.models.engine import _zsort_engine
+    from ljmd_tpu.models.lattice import fcc_lattice, random_velocities, remove_com_velocity
+    from ljmd_tpu.state import MDState
+
+    cfg = config_from_density(num_cells=7, density=0.8442, dt=0.004,
+                              dtype="float64")
+    r = fcc_lattice(cfg.num_cells, cfg.box_length, dtype=jnp.float64)
+    v = remove_com_velocity(
+        random_velocities(jax.random.PRNGKey(5), cfg.n, dtype=jnp.float64)
+    )
+    st = MDState(r=r, ru=r, v=v, a=jnp.zeros_like(r))
+    outs = []
+    for tails in (False, True):
+        eng = _zsort_engine(cfg, interpret=True, tail_tiles=tails)
+        c, _ = eng.init(st)
+        c = eng.run_fast(c, 24)
+        s = eng.get_state(c)
+        outs.append((np.asarray(s.r), np.asarray(s.v)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=0, atol=1e-12)
