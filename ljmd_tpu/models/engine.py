@@ -560,10 +560,16 @@ def _zsort_engine(
         raise ValueError("slab_sort needs >= 5 x-slabs of width rc+skin")
     if tile_j is None:
         # Measured on v5e (exp_resort3/4): TJ=512 wins in pure-z mode
-        # (65.4 vs 70.9 us/step at N=4000, chunk 16), TJ=384 in slab mode
-        # (440 vs 471 us/step at N=16384) — slab rows have shorter
-        # per-slab z-runs, so narrower visits waste less.
-        tile_j = 384 if slab_sort else 512
+        # (65.4 vs 70.9 us/step at N=4000, chunk 16). In slab mode the
+        # wide-tile penalty was mostly cover-end padding, which tail
+        # lists trim exactly, so the ordering depends on tail_tiles
+        # (exp_tails3): with tails TJ=768 wins at both slab points
+        # (349.9 vs 367.4 us at N=16384, 459.9 vs 508.7 at N=19652);
+        # without tails TJ=384 wins (440 vs 471 at N=16384).
+        if slab_sort:
+            tile_j = 768 if tail_tiles else 384
+        else:
+            tile_j = 512
     # 128-granular padding (the window lists place tile_j-wide visits at
     # tile_i-aligned starts, so n_pad need not be a tile_j multiple — it
     # only has to FIT one visit).
