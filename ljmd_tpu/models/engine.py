@@ -903,6 +903,14 @@ class PencilCarry:
     rc: jax.Array
     vc: jax.Array
     overflow: jax.Array
+    # Occupancy-width visit lists for the width-listed fused kernel
+    # (ops/pallas_pencil_fused.build_width_lists); (1,) int32 dummies when
+    # width_lists is off. Rebuilt wherever counts are (init + every rebin).
+    wl_self: jax.Array
+    wl_self_cnt: jax.Array
+    wl_nbr_i: jax.Array
+    wl_nbr_j: jax.Array
+    wl_nbr_off: jax.Array
 
 
 def _cellpair_engine(
@@ -914,6 +922,7 @@ def _cellpair_engine(
     mxu_reduce: bool = False,
     rebin_trigger: str | None = None,
     use_fused: bool | None = None,
+    width_lists: bool | None = None,
 ) -> Engine:
     """Structured pencil-sweep backend for large N (SURVEY §5.7): pair work
     O(N * 9 * capacity) with purely block-structured memory access; rebinning
@@ -925,6 +934,13 @@ def _cellpair_engine(
     block maps (ops/pallas_pencil2.py); ~2x less pair math than the full
     9-neighbor sweep. Incompatible with z_band (which implies the full
     sweep).
+
+    ``width_lists=True`` (fused path only): occupancy-width visit lists —
+    every fused-kernel sweep visit runs at the pencil's 128-granular
+    ACTIVE width (ceil(count/128) blocks) instead of the static capacity,
+    cutting the sentinel-padding fraction of the pair math. Lists rebuild
+    wherever counts do (init + rebins). See
+    ops/pallas_pencil_fused.build_width_lists.
 
     ``z_band=True`` (EXPERIMENTAL, default off): ranks within a pencil are
     z-sorted, and each (i-slice, neighbor) computes only the rank windows
@@ -956,7 +972,9 @@ def _cellpair_engine(
     )
     from ljmd_tpu.ops.pallas_fused import wrap_positions_ext
     from ljmd_tpu.ops.pallas_pencil_fused import (
+        build_width_lists,
         fused_pencil_chunk,
+        fused_pencil_width_chunk,
         pencil_fused_viable,
     )
 
@@ -1000,6 +1018,36 @@ def _cellpair_engine(
         compensated = (cfg.compensated_sum or cfg.dt <= 1.0e-3) and dtype == jnp.float32
     if rebin_trigger not in ("always", "predictive", "never", None):
         raise ValueError(f"unknown rebin trigger {rebin_trigger!r}")
+    fused_ok = (
+        half_shell
+        and not z_band
+        and pencil_fused_viable(ns, jnp.dtype(dtype).itemsize,
+                                extended=compensated)
+    )
+    if use_fused is None:
+        use_fused = fused_ok
+    elif use_fused and not fused_ok:
+        raise ValueError("fused pencil path not viable for this config")
+    if width_lists is None:
+        # Measured (exp_width, 2026-08-18, v5e): list-driven visits pay
+        # ~0.28 us/visit of SMEM-driven dynamic-slice overhead where the
+        # static affine pencil loop pays ~0, so width lists only win when
+        # the 128-quantized occupancy leaves >= 1 whole block of harvest
+        # for MOST pencils. Mean-occupancy rule, matching the sign at all
+        # measured points: N=62500 c384 (fill 83%, w=3 everywhere) -40%;
+        # N=16384 (occ straddles 256, w 31/33 split) -9%; N=19652 (w=2
+        # for 67/81 pencils) +10%.
+        mean_occ = n / grid.n_pencils
+        width_lists = bool(
+            use_fused
+            and not mxu_reduce
+            and (int(mean_occ + 8.0) + 127) // 128 < grid.capacity // 128
+        )
+    if width_lists:
+        if not use_fused:
+            raise ValueError("width_lists requires the fused pencil path")
+        if mxu_reduce:
+            raise ValueError("width_lists does not support mxu_reduce")
 
     def sweep(pos, counts, wins, want_obs=True):
         if z_band:
@@ -1037,6 +1085,16 @@ def _cellpair_engine(
             valid.reshape(grid.n_pencils, grid.capacity)
             .sum(axis=1)
             .astype(jnp.int32)
+        )
+
+    def _lists_from_counts(counts):
+        """Occupancy-width visit lists for the width-listed fused kernel;
+        (1,) dummies keep the carry pytree static when the mode is off."""
+        if not width_lists:
+            z = jnp.zeros((1,), jnp.int32)
+            return z, z, z, z, z
+        return build_width_lists(
+            counts, hs_tbl, hs_shf, grid.n_pencils, grid.capacity
         )
 
     def _permute_rebin(r8, others, old_of_new, valid_new):
@@ -1098,6 +1156,7 @@ def _cellpair_engine(
         v8 = _scatter_rows(state.v, slot)
         counts = _counts_from_valid(valid)
         wins, w_ovf = _windows(r8, valid, counts)
+        wl = _lists_from_counts(counts)
         out = sweep(r8, counts, wins)
         a8 = 24.0 * out * row_mask
         ekin = 0.5 * jnp.sum(v8 * v8)
@@ -1107,6 +1166,8 @@ def _cellpair_engine(
             win_a=wins[0], win_b=wins[1], use_b=wins[2],
             rc=zero, vc=zero,
             overflow=overflow | w_ovf,
+            wl_self=wl[0], wl_self_cnt=wl[1],
+            wl_nbr_i=wl[2], wl_nbr_j=wl[3], wl_nbr_off=wl[4],
         )
         return carry, obs_from(out, ekin)
 
@@ -1184,6 +1245,7 @@ def _cellpair_engine(
                 permuted[3] if compensated else vc8,
                 r8p, counts_p,
                 wins_p[0], wins_p[1], wins_p[2], overflow | w_ovf,
+                _lists_from_counts(counts_p),
             )
 
         def no_rebin(args):
@@ -1191,9 +1253,11 @@ def _cellpair_engine(
             return (
                 r8, ru8, v8, rc8, vc8, c.r_ref, c.counts,
                 c.win_a, c.win_b, c.use_b, jnp.asarray(False),
+                (c.wl_self, c.wl_self_cnt, c.wl_nbr_i, c.wl_nbr_j,
+                 c.wl_nbr_off),
             )
 
-        r_new, ru_new, v_half, rc_new, vc_half, r_ref, counts, wa, wb, ub, ovf = lax.cond(
+        r_new, ru_new, v_half, rc_new, vc_half, r_ref, counts, wa, wb, ub, ovf, wl = lax.cond(
             moved, do_rebin, no_rebin, (r_new, ru_new, v_half, rc_new, vc_half)
         )
 
@@ -1210,6 +1274,8 @@ def _cellpair_engine(
             r=r_new, ru=ru_new, v=v_new, a=a_new, r_ref=r_ref, counts=counts,
             win_a=wa, win_b=wb, use_b=ub, rc=rc_new, vc=vc_new,
             overflow=c.overflow | ovf,
+            wl_self=wl[0], wl_self_cnt=wl[1],
+            wl_nbr_i=wl[2], wl_nbr_j=wl[3], wl_nbr_off=wl[4],
         )
         return carry, obs_from(out, ekin)
 
@@ -1250,6 +1316,7 @@ def _cellpair_engine(
         r8p = sentinel_fill(r8p, r8p[3, :], grid.capacity)
         counts_p = _counts_from_valid(r8p[3, :])
         wins_p, w_ovf = _windows(r8p, r8p[3, :], counts_p)
+        wl = _lists_from_counts(counts_p)
         return dataclasses.replace(
             c, r=r8p, ru=permuted[0], v=permuted[1], a=permuted[2],
             rc=permuted[3] if compensated else jnp.zeros_like(r8p),
@@ -1257,6 +1324,8 @@ def _cellpair_engine(
             r_ref=r8p, counts=counts_p,
             win_a=wins_p[0], win_b=wins_p[1], use_b=wins_p[2],
             overflow=c.overflow | b_ovf | w_ovf,
+            wl_self=wl[0], wl_self_cnt=wl[1],
+            wl_nbr_i=wl[2], wl_nbr_j=wl[3], wl_nbr_off=wl[4],
         )
 
     def _maybe_rebin(c: PencilCarry, k: int) -> PencilCarry:
@@ -1277,28 +1346,37 @@ def _cellpair_engine(
 
     inner_chunk = 8
 
+    def _run_chunk_kernel(c: PencilCarry, k: int):
+        ext = dict(r_lo=c.rc, vc=c.vc) if compensated else {}
+        if width_lists:
+            # Occupancy-width visit lists: same contracts, minus the
+            # sentinel-padding fraction of the pair math.
+            return fused_pencil_width_chunk(
+                c.r, c.v, c.a, c.wl_self, c.wl_self_cnt,
+                c.wl_nbr_i, c.wl_nbr_j, c.wl_nbr_off,
+                grid.n_pencils, grid.capacity, L, cfg.rc_square, dt, k,
+                interpret=interpret, approx_reciprocal=not interpret,
+                **ext,
+            )
+        return fused_pencil_chunk(
+            c.r, c.v, c.a, hs_tbl, hs_shf,
+            grid.n_pencils, grid.capacity, L, cfg.rc_square, dt, k,
+            interpret=interpret, approx_reciprocal=not interpret,
+            mxu_reduce=mxu_reduce, **ext,
+        )
+
     def _chunk(c: PencilCarry, k: int) -> PencilCarry:
         c = _maybe_rebin(c, k)
         if compensated:
             # Extended two-float fused kernel: the compensated policy keeps
             # the fast path (VERDICT round-2 item 2) instead of dropping to
             # the per-step sweep.
-            r_end, rc_end, v_new, vc_new, a_new = fused_pencil_chunk(
-                c.r, c.v, c.a, hs_tbl, hs_shf,
-                grid.n_pencils, grid.capacity, L, cfg.rc_square, dt, k,
-                interpret=interpret, approx_reciprocal=not interpret,
-                r_lo=c.rc, vc=c.vc, mxu_reduce=mxu_reduce,
-            )
+            r_end, rc_end, v_new, vc_new, a_new = _run_chunk_kernel(c, k)
             ru_new = c.ru + ((r_end - c.r) + (rc_end - c.rc)) * xyz_mask
             return dataclasses.replace(
                 c, r=r_end, ru=ru_new, v=v_new, a=a_new, rc=rc_end, vc=vc_new
             )
-        r_end, v_new, a_new = fused_pencil_chunk(
-            c.r, c.v, c.a, hs_tbl, hs_shf,
-            grid.n_pencils, grid.capacity, L, cfg.rc_square, dt, k,
-            interpret=interpret, approx_reciprocal=not interpret,
-            mxu_reduce=mxu_reduce,
-        )
+        r_end, v_new, a_new = _run_chunk_kernel(c, k)
         # No wrap inside the chunk -> the unwrap update is the exact
         # slot-space displacement (rows 3/4 of r are untouched by the
         # kernel, so the delta's aux rows are zero; mask for safety).
@@ -1346,16 +1424,6 @@ def _cellpair_engine(
             c = chunk(c, rem)
         return c
 
-    fused_ok = (
-        half_shell
-        and not z_band
-        and pencil_fused_viable(ns, jnp.dtype(dtype).itemsize,
-                                extended=compensated)
-    )
-    if use_fused is None:
-        use_fused = fused_ok
-    elif use_fused and not fused_ok:
-        raise ValueError("fused pencil path not viable for this config")
     if rebin_trigger is None:
         # Plain f32: branchless rebin every chunk wins everywhere (N=62500
         # fused: 1367 vs 1503 us/step — the lax.cond/copy overhead around

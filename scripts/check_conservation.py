@@ -85,13 +85,19 @@ def main():
     cfg = _dc.replace(cfg, neighbor_capacity=384)
     st = perturbed_fcc_state(cfg)
     ets = {}
-    for fused in (True, False):
-        eng = _cellpair_engine(cfg, rebin_trigger="always", use_fused=fused,
-                               compensated=False)
-        ets[fused], _, _ = trace(f"N=62500 {'fused' if fused else 'unfused'}",
-                                 eng, st)
-    rel = abs(ets[True] - ets[False]) / abs(ets[False])
-    print(f"fused-vs-unfused agreement: {rel:.2e} (want < 1e-4)", flush=True)
+    variants = (
+        ("fused", dict(use_fused=True)),
+        ("fused-width", dict(use_fused=True, width_lists=True)),
+        ("unfused", dict(use_fused=False)),
+    )
+    for name, kw in variants:
+        eng = _cellpair_engine(cfg, rebin_trigger="always",
+                               compensated=False, **kw)
+        ets[name], _, _ = trace(f"N=62500 {name}", eng, st)
+    for name in ("fused", "fused-width"):
+        rel = abs(ets[name] - ets["unfused"]) / abs(ets["unfused"])
+        print(f"{name}-vs-unfused agreement: {rel:.2e} (want < 1e-4)",
+              flush=True)
 
 
 if __name__ == "__main__":
