@@ -1475,7 +1475,33 @@ def _cellpair_viable(cfg: SimConfig) -> bool:
     return int(_np.floor(cfg.box_length / (cfg.rc + cfg.neighbor_skin))) >= 3
 
 
-def make_engine(cfg: SimConfig, backend: str = "auto") -> Engine:
+def make_engine(cfg: SimConfig, backend: str = "auto", state=None) -> Engine:
+    """Build the force/integration engine for ``cfg``.
+
+    ``state`` (optional MDState): a representative configuration — e.g. the
+    post-warmup state a production driver already holds. When the routing
+    lands on the pencil engine and ``cfg.neighbor_capacity`` is unset, the
+    pencil capacity is sized from this state's occupancy census
+    (``capacity_from_state``) instead of the lattice-based bound. Measured
+    on v5e (exp_autocap, 2026-08-18): NEUTRAL at the equilibrated LJ bench
+    points — the fluid occupancy tail is wide enough (N=131072: mean 453,
+    max >= 497) that the census lands on the same capacity as the default
+    — but it right-sizes non-FCC inits and other state points, and it
+    documents the honest floor (the popular neighbor_capacity=384 override
+    at N=62500 sits BELOW the census 512, i.e. on the overflow edge).
+    Occupancy drift past a tightened capacity trips the engines' sticky
+    overflow diagnostic — detected, never silent.
+    """
+    def _cellpair_tuned(c: SimConfig) -> Engine:
+        if state is not None and not c.neighbor_capacity:
+            from ljmd_tpu.ops.cell_list import capacity_from_state
+
+            cap = capacity_from_state(
+                c.box_length, c.rc + c.neighbor_skin, state.r
+            )
+            c = dataclasses.replace(c, neighbor_capacity=cap)
+        return _cellpair_engine(c)
+
     if backend == "neighbor":
         return _neighbor_engine(cfg)
     if backend == "pallas":
@@ -1483,7 +1509,7 @@ def make_engine(cfg: SimConfig, backend: str = "auto") -> Engine:
     if backend == "zsort":
         return _zsort_engine(cfg)
     if backend == "cellpair":
-        return _cellpair_engine(cfg)
+        return _cellpair_tuned(cfg)
     if backend == "auto":
         try:
             on_tpu = jax.devices()[0].platform == "tpu"
@@ -1510,7 +1536,7 @@ def make_engine(cfg: SimConfig, backend: str = "auto") -> Engine:
                 except ValueError:
                     pass
             if cfg.n >= 8192 and _cellpair_viable(cfg):
-                return _cellpair_engine(cfg)
+                return _cellpair_tuned(cfg)
             if cfg.box_length > 4.0 * cfg.rc:
                 try:
                     return _zsort_engine(cfg)

@@ -243,7 +243,9 @@ def run_production(
     supply a pre-built Engine (e.g. the particle-sharded multi-chip engine
     from ``parallel.spatial.make_spatial_engine``) instead of ``backend``.
     """
-    engine = engine or make_engine(cfg, backend)
+    # State-aware pencil capacity: the post-warmup state sizes the slot
+    # layout (make_engine docstring) — lattice-safe padding is for init.
+    engine = engine or make_engine(cfg, backend, state=state)
     prologue, n_samples, epilogue = _cadence(cfg)
     if n_samples == 0:
         raise ValueError(

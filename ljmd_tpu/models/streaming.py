@@ -76,7 +76,10 @@ def run_production_streaming(
     rva.dat grows per chunk, production_checkpoint.npz is refreshed per chunk
     (and removed on successful completion)."""
     os.makedirs(out_dir, exist_ok=True)
-    engine = engine or make_engine(cfg, backend)
+    # State-aware pencil capacity (make_engine docstring). Deterministic
+    # across resume: the caller re-passes the same post-warmup state, so
+    # the census — and hence the slot layout — is reproduced exactly.
+    engine = engine or make_engine(cfg, backend, state=state)
     prologue, n_samples, epilogue = _cadence(cfg)
     if n_samples == 0:
         raise ValueError("no samples would be taken")

@@ -107,6 +107,33 @@ def pencil_capacity(n: int, density: float, box_length: float, m_xy: int,
     return ((cap + 127) // 128) * 128
 
 
+def capacity_from_state(box_length: float, r_list: float, r) -> int:
+    """128-granular pencil capacity sized from an ACTUAL configuration
+    (e.g. the post-warmup state), instead of the lattice-safe worst case.
+
+    The default ``pencil_capacity`` must cover the FCC starting lattice,
+    whose pencil aliasing needs far more slots than the equilibrated fluid
+    (N=62500: lattice 512 vs fluid 384; N=131072: 640 vs 512) — and the
+    sweeps used to pay for that padding on every step. Production drivers
+    that already hold an equilibrated state can size capacity from its
+    occupancy census: smallest 128-multiple >= occ_max + 16 (the round-up
+    slack adds 0..111 more headroom on top). Occupancy drift past the
+    capacity during the run is caught by the engines' sticky overflow
+    diagnostic (overflow victims are dropped deterministically, never
+    silent), and ``cfg.neighbor_capacity`` stays available as an explicit
+    override either way.
+    """
+    m_xy = int(np.floor(box_length / r_list))
+    if m_xy < 3:
+        raise ValueError("box too small for a pencil grid")
+    pos = np.asarray(r)
+    inv_w = m_xy / box_length
+    ix = np.clip((pos[:, 0] * inv_w).astype(np.int64), 0, m_xy - 1)
+    iy = np.clip((pos[:, 1] * inv_w).astype(np.int64), 0, m_xy - 1)
+    occ = np.bincount(ix * m_xy + iy, minlength=m_xy * m_xy)
+    return max(128, int(-(-(int(occ.max()) + 16) // 128) * 128))
+
+
 def _fcc_max_pencil_occupancy(num_cells: int, box_length: float, m_xy: int) -> int:
     """Exact max per-pencil occupancy of the FCC starting lattice
     (md_initial_config_program.f90:132-187 geometry): project the 4-atom

@@ -382,3 +382,56 @@ def test_miscompile_workarounds_stay_in_place():
         f"run_fast_unfused must contain exactly the outer chunk scan, found "
         f"{len(scans)} (inner steps must stay unrolled — v5e miscompile guard)"
     )
+
+
+def test_capacity_from_state_census():
+    from ljmd_tpu.ops.cell_list import capacity_from_state
+
+    rng = np.random.default_rng(11)
+    L, r_list = 12.0, 3.0  # 4x4 pencils
+    r = rng.uniform(0, L, size=(600, 3))
+    cap = capacity_from_state(L, r_list, r)
+    # reference census
+    ix = np.clip((r[:, 0] * 4 / L).astype(int), 0, 3)
+    iy = np.clip((r[:, 1] * 4 / L).astype(int), 0, 3)
+    occ_max = np.bincount(ix * 4 + iy, minlength=16).max()
+    want = max(128, int(-(-(occ_max + 16) // 128) * 128))
+    assert cap == want
+    # piling everything into one pencil grows the capacity accordingly
+    r1 = np.full((600, 3), 0.5)
+    assert capacity_from_state(L, r_list, r1) == 640  # 616 -> 640
+
+
+def test_make_engine_state_aware_capacity():
+    """make_engine(state=...) sizes the pencil capacity from the state's
+    census (not the lattice-safe default) and the tuned engine matches the
+    default-capacity engine's trajectory (capacity is pure layout)."""
+    cfg = big_cfg()
+    state = initialize(cfg, jax.random.PRNGKey(2))
+
+    # The equilibrated fluid at N=500 / 3x3 pencils has occ ~56 +- fluct,
+    # so the census gives the 128 floor; the lattice-safe default is >= it.
+    eng_t = make_engine(cfg, "cellpair", state=state)
+    eng_d = _cellpair_engine(cfg)
+
+    ct, _ = eng_t.init(state)
+    cd, _ = eng_d.init(state)
+    assert ct.r.shape[1] == 9 * 128  # census capacity applied
+    step_t = jax.jit(lambda c: eng_t.step_fast(c)[0])
+    step_d = jax.jit(lambda c: eng_d.step_fast(c)[0])
+    for _ in range(12):
+        ct = step_t(ct)
+        cd = step_d(cd)
+    st, sd = eng_t.get_state(ct), eng_d.get_state(cd)
+    assert not bool(ct.overflow)
+    for name in ("r", "v"):
+        d = float(jnp.max(jnp.abs(getattr(st, name) - getattr(sd, name))))
+        assert d < 1e-9, f"{name}: {d}"
+
+    # explicit neighbor_capacity still wins over the census
+    import dataclasses as dc
+
+    cfg_o = dc.replace(cfg, neighbor_capacity=256)
+    eng_o = make_engine(cfg_o, "cellpair", state=state)
+    co, _ = eng_o.init(state)
+    assert co.r.shape[1] == 9 * 256
