@@ -923,6 +923,7 @@ def _cellpair_engine(
     rebin_trigger: str | None = None,
     use_fused: bool | None = None,
     width_lists: bool | None = None,
+    mono: bool | None = None,
 ) -> Engine:
     """Structured pencil-sweep backend for large N (SURVEY §5.7): pair work
     O(N * 9 * capacity) with purely block-structured memory access; rebinning
@@ -968,6 +969,8 @@ def _cellpair_engine(
     from ljmd_tpu.ops.pallas_pencil2 import (
         build_half_shell_tables,
         pallas_pencil_sweep_hs,
+        pallas_pencil_sweep_mono,
+        pencil_mono_viable,
         sentinel_fill,
     )
     from ljmd_tpu.ops.pallas_fused import wrap_positions_ext
@@ -1018,6 +1021,15 @@ def _cellpair_engine(
         compensated = (cfg.compensated_sum or cfg.dt <= 1.0e-3) and dtype == jnp.float32
     if rebin_trigger not in ("always", "predictive", "never", None):
         raise ValueError(f"unknown rebin trigger {rebin_trigger!r}")
+    mono_ok = (
+        half_shell
+        and not z_band
+        and pencil_mono_viable(ns, jnp.dtype(dtype).itemsize)
+    )
+    if mono is None:
+        mono = mono_ok
+    elif mono and not mono_ok:
+        raise ValueError("mono sweep not viable for this config")
     fused_ok = (
         half_shell
         and not z_band
@@ -1057,11 +1069,21 @@ def _cellpair_engine(
                 interpret=interpret, want_observables=want_obs,
             )
         if half_shell:
-            out = pallas_pencil_sweep_hs(
-                pos, hs_tbl, counts, hs_shf, grid, cfg.rc_square,
-                interpret=interpret, want_observables=want_obs,
-                approx_reciprocal=True,
-            )
+            if mono:
+                # Single program, whole state in VMEM: no per-program
+                # block-DMA/prologue cost (~2.5us x n_pencils with the
+                # grid kernel) and no 5-buffer reaction reduction after.
+                out = pallas_pencil_sweep_mono(
+                    pos, hs_tbl, counts, hs_shf, grid, cfg.rc_square,
+                    interpret=interpret, want_observables=want_obs,
+                    approx_reciprocal=True,
+                )
+            else:
+                out = pallas_pencil_sweep_hs(
+                    pos, hs_tbl, counts, hs_shf, grid, cfg.rc_square,
+                    interpret=interpret, want_observables=want_obs,
+                    approx_reciprocal=True,
+                )
             # Sentinel-sentinel artifacts land only on invalid slots; one
             # multiply by the validity row (r row 3) cleans output + obs.
             return out * pos[3:4, :]

@@ -267,3 +267,166 @@ def sentinel_fill(rows_r: jax.Array, valid: jax.Array, capacity: int) -> jax.Arr
     y = jnp.where(ok, rows_r[1], 0.0)
     z = jnp.where(ok, rows_r[2], 0.0)
     return rows_r.at[0].set(x).at[1].set(y).at[2].set(z)
+
+
+# ---------------------------------------------------------------------------
+# Single-program ("mono") per-step sweep: the grid kernel above pays per-
+# program costs (~2.5 us each: block DMAs + region prologues, measured round
+# 2 as ~0.5 ms/step over 196 programs at N=62500) plus a 5-buffer reaction
+# reduction afterwards. When the whole (8, n_slots) position matrix and one
+# output buffer fit VMEM (~<= 196k slots f32), ONE program with the affine
+# fori_loop-over-pencils body (the fused chunk kernel's sweep, but per-step
+# and with observables) removes both. Same output contract as
+# ``pallas_pencil_sweep_hs``: rows 0..2 forces without the 24 prefactor,
+# rows 3..5 per-particle e/du/ddu accumulated on the i side (pair once),
+# caller multiplies by the validity row and restores prefactors 4/24.
+# ---------------------------------------------------------------------------
+
+_MONO_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def pencil_mono_viable(n_slots: int, itemsize: int = 4) -> bool:
+    """True when positions + output fit the single-program VMEM budget."""
+    return 2 * 8 * n_slots * itemsize <= _MONO_VMEM_BUDGET
+
+
+def _pencil_mono_kernel(
+    tbl_ref,     # SMEM (n_pencils*4,) int32
+    counts_ref,  # SMEM (n_pencils,) int32
+    shf_ref,     # SMEM (n_pencils*4*2,) int32
+    pos_ref,     # VMEM (8, n_slots)
+    out_ref,     # VMEM (8, n_slots)
+    *,
+    n_pencils: int,
+    capacity: int,
+    box_length: float,
+    inv_box_length: float,
+    rc_square: float,
+    want_observables: bool,
+    approx_reciprocal: bool,
+    i_gate: bool,
+):
+    out_ref[:, :] = jnp.zeros_like(out_ref)
+    L = box_length
+    inv_l = inv_box_length
+    cap = capacity
+    n_sub = cap // TILE_I
+
+    def pencil_body(p, c):
+        base = p * cap
+        shifted = []
+        for k in range(4):
+            j = tbl_ref[p * 4 + k]
+            jb = j * cap
+            off_x = shf_ref[(p * 4 + k) * 2].astype(pos_ref.dtype) * L
+            off_y = shf_ref[(p * 4 + k) * 2 + 1].astype(pos_ref.dtype) * L
+            shifted.append((
+                jb,
+                pos_ref[0, pl.ds(jb, cap)].reshape(1, cap) + off_x,
+                pos_ref[1, pl.ds(jb, cap)].reshape(1, cap) + off_y,
+                pos_ref[2, pl.ds(jb, cap)].reshape(1, cap),
+            ))
+        count_i = counts_ref[p]
+
+        for si in range(n_sub):
+            ista = base + si * TILE_I
+
+            def i_slice(si=si, ista=ista):
+                xi = pos_ref[0, pl.ds(ista, TILE_I)].reshape(TILE_I, 1)
+                yi = pos_ref[1, pl.ds(ista, TILE_I)].reshape(TILE_I, 1)
+                zi = pos_ref[2, pl.ds(ista, TILE_I)].reshape(TILE_I, 1)
+
+                def accumulate(dx, dy, dz, r2, mask, jsta, jw, ista=ista):
+                    coef, du, e, ddu = lj_pair_terms(
+                        r2, mask, approx_reciprocal, want_observables
+                    )
+                    fx = coef * dx
+                    fy = coef * dy
+                    fz = coef * dz
+                    out_ref[0, pl.ds(ista, TILE_I)] += jnp.sum(fx, axis=1)
+                    out_ref[1, pl.ds(ista, TILE_I)] += jnp.sum(fy, axis=1)
+                    out_ref[2, pl.ds(ista, TILE_I)] += jnp.sum(fz, axis=1)
+                    if want_observables:
+                        out_ref[3, pl.ds(ista, TILE_I)] += jnp.sum(e, axis=1)
+                        out_ref[4, pl.ds(ista, TILE_I)] += jnp.sum(du, axis=1)
+                        out_ref[5, pl.ds(ista, TILE_I)] += jnp.sum(ddu, axis=1)
+                    out_ref[0, pl.ds(jsta, jw)] -= jnp.sum(fx, axis=0)
+                    out_ref[1, pl.ds(jsta, jw)] -= jnp.sum(fy, axis=0)
+                    out_ref[2, pl.ds(jsta, jw)] -= jnp.sum(fz, axis=0)
+
+                # Self pencil: slot-triangular, ranks below the slice are a
+                # static 128-aligned trim (same as the grid kernel).
+                j_lo = si * TILE_I
+                jw = cap - j_lo
+                xs = pos_ref[0, pl.ds(base + j_lo, jw)].reshape(1, jw)
+                ys = pos_ref[1, pl.ds(base + j_lo, jw)].reshape(1, jw)
+                zs = pos_ref[2, pl.ds(base + j_lo, jw)].reshape(1, jw)
+                tri = jax.lax.broadcasted_iota(
+                    jnp.int32, (TILE_I, jw), 1
+                ) > jax.lax.broadcasted_iota(jnp.int32, (TILE_I, jw), 0)
+                dxs = xi - xs
+                dys = yi - ys
+                dzs = zi - zs
+                dzs = dzs - L * jnp.round(dzs * inv_l)
+                r2s = dxs * dxs + dys * dys + dzs * dzs
+                accumulate(dxs, dys, dzs, r2s, (r2s < rc_square) & tri,
+                           base + j_lo, jw)
+
+                for jb, xjs, yjs, zjs in shifted:
+                    dx = xi - xjs
+                    dy = yi - yjs
+                    dz = zi - zjs
+                    dz = dz - L * jnp.round(dz * inv_l)
+                    r2 = dx * dx + dy * dy + dz * dz
+                    accumulate(dx, dy, dz, r2, r2 < rc_square, jb, cap)
+
+            if i_gate:
+                pl.when(si * TILE_I < count_i)(i_slice)
+            else:
+                i_slice()
+        return c
+
+    jax.lax.fori_loop(0, n_pencils, pencil_body, 0)
+
+
+def pallas_pencil_sweep_mono(
+    pos_slots: jax.Array,
+    tbl: jax.Array,
+    counts: jax.Array,
+    shifts: jax.Array,
+    grid: PencilGrid,
+    rc_square: float,
+    interpret: bool = False,
+    want_observables: bool = True,
+    approx_reciprocal: bool = False,
+    i_gate: bool = True,
+) -> jax.Array:
+    """Single-program half-shell sweep; drop-in for
+    ``pallas_pencil_sweep_hs`` when ``pencil_mono_viable(grid.n_slots)``."""
+    n_slots = grid.n_slots
+    cap = grid.capacity
+    kernel = functools.partial(
+        _pencil_mono_kernel,
+        n_pencils=grid.n_pencils,
+        capacity=cap,
+        box_length=float(grid.box_length),
+        inv_box_length=1.0 / float(grid.box_length),
+        rc_square=float(rc_square),
+        want_observables=want_observables,
+        approx_reciprocal=approx_reciprocal and not interpret,
+        i_gate=i_gate,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[smem, smem, smem, vmem],
+        out_specs=vmem,
+        out_shape=jax.ShapeDtypeStruct((8, n_slots), pos_slots.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(33 * n_slots * 5 * cap),
+            bytes_accessed=int(4 * 8 * n_slots * 3),
+            transcendentals=0,
+        ),
+    )(tbl, counts, shifts, pos_slots)

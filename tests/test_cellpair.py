@@ -435,3 +435,47 @@ def test_make_engine_state_aware_capacity():
     eng_o = make_engine(cfg_o, "cellpair", state=state)
     co, _ = eng_o.init(state)
     assert co.r.shape[1] == 9 * 256
+
+
+@pytest.mark.parametrize("want_obs", [True, False])
+def test_mono_sweep_matches_grid_sweep(want_obs):
+    """Single-program sweep == grid half-shell sweep (f64 interpret), all
+    6 output rows, on a jittered-lattice slot state with partial fills."""
+    from ljmd_tpu.models.lattice import fcc_lattice
+    from ljmd_tpu.ops.pallas_pencil2 import (
+        build_half_shell_tables,
+        pallas_pencil_sweep_hs,
+        pallas_pencil_sweep_mono,
+        sentinel_fill,
+    )
+
+    rng = np.random.default_rng(9)
+    n, L = 2048, 13.4
+    grid = make_pencil_grid(n, L, 2.9, n / L**3)
+    r = fcc_lattice(8, L, dtype=jnp.float64)
+    r = (r + jnp.asarray(rng.normal(0, 0.05, size=(n, 3)))) % L
+    slot, ovf = bin_to_slots(r, grid)
+    assert not bool(ovf)
+    ns = grid.n_slots
+    r8 = jnp.zeros((8, ns + 1)).at[0:3, slot].set(r.T)[:, :ns]
+    valid = jnp.zeros((ns + 1,)).at[slot].set(1.0)[:ns]
+    r8 = r8.at[3].set(valid)
+    r8 = sentinel_fill(r8, valid, grid.capacity)
+    counts = valid.reshape(grid.n_pencils, grid.capacity).sum(1).astype(jnp.int32)
+    tbl, shf = build_half_shell_tables(grid)
+    tbl, shf = jnp.asarray(tbl), jnp.asarray(shf)
+
+    kw = dict(interpret=True, want_observables=want_obs,
+              approx_reciprocal=False)
+    out_g = pallas_pencil_sweep_hs(
+        r8, tbl, counts, shf, grid, 6.25, **kw) * r8[3:4]
+    out_m = pallas_pencil_sweep_mono(
+        r8, tbl, counts, shf, grid, 6.25, **kw) * r8[3:4]
+    for row in range(6):
+        scale = max(1.0, float(jnp.max(jnp.abs(out_g[row]))))
+        d = float(jnp.max(jnp.abs(out_g[row] - out_m[row])))
+        assert d < 1e-12 * scale, (row, d, scale)
+    # gate-free variant covers identical physics too
+    out_u = pallas_pencil_sweep_mono(
+        r8, tbl, counts, shf, grid, 6.25, i_gate=False, **kw) * r8[3:4]
+    assert float(jnp.max(jnp.abs(out_m - out_u))) == 0.0
