@@ -1021,13 +1021,59 @@ def _cellpair_engine(
         compensated = (cfg.compensated_sum or cfg.dt <= 1.0e-3) and dtype == jnp.float32
     if rebin_trigger not in ("always", "predictive", "never", None):
         raise ValueError(f"unknown rebin trigger {rebin_trigger!r}")
-    mono_ok = (
-        half_shell
-        and not z_band
-        and pencil_mono_viable(ns, jnp.dtype(dtype).itemsize)
-    )
+    def _mono_strips():
+        """x-strip plan for the single-program sweep: the half-shell
+        neighborhood only reaches x-rows r and r+1, so the sweep splits
+        into consecutive-row strips (i-rows plus ONE halo row each) that
+        fit the mono VMEM budget, merged by adding the halo overlaps.
+        Returns a list of strip dicts (len 1 = whole-grid mono, no halo),
+        or None when even 1-row strips don't fit or the glue would grow
+        past ~6 strips (grid-kernel fallback)."""
+        if not half_shell or z_band:
+            return None
+        m = grid.m_xy
+        cap = grid.capacity
+        item = jnp.dtype(dtype).itemsize
+        if pencil_mono_viable(ns, item):
+            return [dict(r0=0, r1=m, n_i=grid.n_pencils,
+                         tbl=hs_tbl, shf=hs_shf)]
+        import numpy as _np
+
+        for k in range(2, 7):
+            rows = -(-m // k)
+            if not pencil_mono_viable((rows + 1) * m * cap, item):
+                continue
+            plan = []
+            r0 = 0
+            while r0 < m:
+                r1 = min(m, r0 + rows)
+                n_i = (r1 - r0) * m
+                halo_row = r1 % m
+                tbl_l = _np.empty(n_i * 4, _np.int32)
+                for q in range(n_i):
+                    p = r0 * m + q
+                    for kk in range(4):
+                        j = int(hs_tbl_np[p * 4 + kk])
+                        row = j // m
+                        if r0 <= row < r1:
+                            tbl_l[q * 4 + kk] = j - r0 * m
+                        else:
+                            assert row == halo_row, (p, j, r0, r1)
+                            tbl_l[q * 4 + kk] = n_i + (j % m)
+                shf_l = hs_shf_np[r0 * m * 8:r1 * m * 8]
+                plan.append(dict(r0=r0, r1=r1, n_i=n_i,
+                                 tbl=jnp.asarray(tbl_l),
+                                 shf=jnp.asarray(shf_l)))
+                r0 = r1
+            return plan
+        return None
+
+    _strip_plan = _mono_strips()
+    mono_ok = _strip_plan is not None
     if mono is None:
-        mono = mono_ok
+        # Multi-strip stays opt-in until its TPU conservation run lands
+        # (the v5e miscompile protocol; single-strip mono is validated).
+        mono = mono_ok and len(_strip_plan) == 1
     elif mono and not mono_ok:
         raise ValueError("mono sweep not viable for this config")
     fused_ok = (
@@ -1069,7 +1115,7 @@ def _cellpair_engine(
                 interpret=interpret, want_observables=want_obs,
             )
         if half_shell:
-            if mono:
+            if mono and len(_strip_plan) == 1:
                 # Single program, whole state in VMEM: no per-program
                 # block-DMA/prologue cost (~2.5us x n_pencils with the
                 # grid kernel) and no 5-buffer reaction reduction after.
@@ -1078,6 +1124,36 @@ def _cellpair_engine(
                     interpret=interpret, want_observables=want_obs,
                     approx_reciprocal=True,
                 )
+            elif mono:
+                # x-strip mono: sequential strip sweeps (i-rows + one halo
+                # row each in VMEM), halo reactions merged by overlap adds.
+                m = grid.m_xy
+                cap_s = grid.capacity
+                row_slots = m * cap_s
+                out = jnp.zeros((8, ns), pos.dtype)
+                for sp in _strip_plan:
+                    r0, r1, n_i = sp["r0"], sp["r1"], sp["n_i"]
+                    lo = r0 * row_slots
+                    hi = r1 * row_slots
+                    if r1 < m:
+                        pos_l = pos[:, lo:hi + row_slots]
+                    else:
+                        pos_l = jnp.concatenate(
+                            [pos[:, lo:], pos[:, :row_slots]], axis=1
+                        )
+                    out_l = pallas_pencil_sweep_mono(
+                        pos_l, sp["tbl"], counts[r0 * m:r1 * m], sp["shf"],
+                        grid, cfg.rc_square, interpret=interpret,
+                        want_observables=want_obs, approx_reciprocal=True,
+                        n_pencils_i=n_i,
+                    )
+                    if r1 < m:
+                        out = out.at[:, lo:hi + row_slots].add(out_l)
+                    else:
+                        out = out.at[:, lo:].add(out_l[:, :n_i * cap_s])
+                        out = out.at[:, :row_slots].add(
+                            out_l[:, n_i * cap_s:]
+                        )
             else:
                 out = pallas_pencil_sweep_hs(
                     pos, hs_tbl, counts, hs_shf, grid, cfg.rc_square,

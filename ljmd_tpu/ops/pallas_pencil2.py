@@ -400,14 +400,22 @@ def pallas_pencil_sweep_mono(
     want_observables: bool = True,
     approx_reciprocal: bool = False,
     i_gate: bool = True,
+    n_pencils_i: int | None = None,
 ) -> jax.Array:
     """Single-program half-shell sweep; drop-in for
-    ``pallas_pencil_sweep_hs`` when ``pencil_mono_viable(grid.n_slots)``."""
-    n_slots = grid.n_slots
+    ``pallas_pencil_sweep_hs`` when ``pencil_mono_viable(grid.n_slots)``.
+
+    ``n_pencils_i`` (default: all) bounds the i-pencil loop while j visits
+    may reach any slot of ``pos_slots`` — the x-strip decomposition passes
+    a strip's pencils plus one halo row and sweeps i only over the strip
+    (``tbl`` then holds STRIP-LOCAL indices; see the engine's strip
+    builder). ``pos_slots`` may be longer than ``n_pencils_i * capacity``.
+    """
+    n_slots = pos_slots.shape[1]
     cap = grid.capacity
     kernel = functools.partial(
         _pencil_mono_kernel,
-        n_pencils=grid.n_pencils,
+        n_pencils=n_pencils_i if n_pencils_i is not None else grid.n_pencils,
         capacity=cap,
         box_length=float(grid.box_length),
         inv_box_length=1.0 / float(grid.box_length),

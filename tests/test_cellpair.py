@@ -479,3 +479,47 @@ def test_mono_sweep_matches_grid_sweep(want_obs):
     out_u = pallas_pencil_sweep_mono(
         r8, tbl, counts, shf, grid, 6.25, i_gate=False, **kw) * r8[3:4]
     assert float(jnp.max(jnp.abs(out_m - out_u))) == 0.0
+
+
+@pytest.mark.slow
+def test_mono_strip_sweep_matches_grid(monkeypatch):
+    """x-strip mono decomposition (i-rows + halo row per call, overlap-add
+    merge) == the grid sweep, across rebins. Strips are forced by shrinking
+    the viability threshold so the whole grid doesn't fit but a strip does."""
+    import ljmd_tpu.ops.pallas_pencil2 as pp2
+
+    cfg = config_from_density(
+        num_cells=8, density=0.6, dt=0.004, dtype="float64",
+        neighbor_skin=0.4,
+    )
+    grid = make_pencil_grid(cfg.n, cfg.box_length, cfg.rc + cfg.neighbor_skin,
+                            cfg.density, cfg.neighbor_capacity)
+    m, cap = grid.m_xy, grid.capacity
+    assert m >= 4
+    # allow (ceil(m/2)+1+eps) rows per call but not the full grid
+    limit = (-(-m // 2) + 1) * m * cap
+    monkeypatch.setattr(pp2, "pencil_mono_viable",
+                        lambda ns, itemsize=4: ns <= limit)
+
+    eng_s = _cellpair_engine(cfg, use_fused=False, mono=True)  # strips
+    eng_g = _cellpair_engine(cfg, use_fused=False, mono=False)
+    state = initialize(cfg, jax.random.PRNGKey(4))
+    cs, _ = eng_s.init(state)
+    cg, _ = eng_g.init(state)
+    step_s = jax.jit(lambda c: eng_s.step(c)[0])
+    step_g = jax.jit(lambda c: eng_g.step(c)[0])
+    for _ in range(8):
+        cs = step_s(cs)
+        cg = step_g(cg)
+    ss, sg = eng_s.get_state(cs), eng_g.get_state(cg)
+    assert not bool(cs.overflow)
+    for name in ("r", "v", "a"):
+        a, b = getattr(ss, name), getattr(sg, name)
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        d = float(jnp.max(jnp.abs(a - b)))
+        assert d < 1e-11 * scale, (name, d, scale)
+    # observables agree too
+    _, os_ = jax.jit(eng_s.step)(cs)
+    _, og = jax.jit(eng_g.step)(cg)
+    for f in ("epot", "d_epot", "dd_epot"):
+        assert abs(float(getattr(os_, f) - getattr(og, f))) < 1e-8
