@@ -1591,7 +1591,15 @@ def make_engine(cfg: SimConfig, backend: str = "auto", state=None) -> Engine:
     overflow diagnostic — detected, never silent.
     """
     def _cellpair_tuned(c: SimConfig) -> Engine:
-        if state is not None and not c.neighbor_capacity:
+        # The census needs CONCRETE positions: under a trace (e.g. the
+        # vmapped ensemble calls run_production on tracer states) fall
+        # back to the lattice-based default rather than crashing on
+        # np.asarray(tracer).
+        if (
+            state is not None
+            and not c.neighbor_capacity
+            and not isinstance(state.r, jax.core.Tracer)
+        ):
             from ljmd_tpu.ops.cell_list import capacity_from_state
 
             cap = capacity_from_state(

@@ -45,6 +45,8 @@ __all__ = [
     "SENT_BASE",
     "build_half_shell_tables",
     "pallas_pencil_sweep_hs",
+    "pallas_pencil_sweep_mono",
+    "pencil_mono_viable",
 ]
 
 TILE_I = 128

@@ -99,6 +99,20 @@ def main():
         print(f"{name}-vs-unfused agreement: {rel:.2e} (want < 1e-4)",
               flush=True)
 
+    # x-strip mono at N=256000 (3 strips): the strips leg of the
+    # miscompile protocol — agreement with the grid-sweep path.
+    cfg = config_from_density(num_cells=40, density=0.8442, dt=0.001,
+                              dtype="float32", neighbor_skin=0.49)
+    st = perturbed_fcc_state(cfg)
+    es = {}
+    for mono in (True, False):
+        eng = _cellpair_engine(cfg, rebin_trigger="always", mono=mono,
+                               compensated=False)
+        es[mono], _, _ = trace(
+            f"N=256000 {'strips' if mono else 'grid'}", eng, st, n_chunks=4)
+    rel = abs(es[True] - es[False]) / abs(es[False])
+    print(f"strips-vs-grid agreement: {rel:.2e} (want < 1e-4)", flush=True)
+
 
 if __name__ == "__main__":
     main()

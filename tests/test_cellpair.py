@@ -523,3 +523,14 @@ def test_mono_strip_sweep_matches_grid(monkeypatch):
     _, og = jax.jit(eng_g.step)(cg)
     for f in ("epot", "d_epot", "dd_epot"):
         assert abs(float(getattr(os_, f) - getattr(og, f))) < 1e-8
+
+
+def test_ensemble_vmap_cellpair_state_capacity():
+    """The vmapped ensemble calls run_production on TRACER states; the
+    state-aware capacity census must fall back to the lattice default
+    instead of crashing on np.asarray(tracer) (regression)."""
+    from ljmd_tpu.parallel.ensemble import ensemble_simulate
+
+    cfg = big_cfg(total_steps=30, warmup_steps=5, output_interval=10)
+    agg = ensemble_simulate(cfg, n_replicas=2, backend="cellpair", jit=False)
+    assert np.all(np.isfinite(np.asarray(agg.mean_of_means)))
