@@ -40,12 +40,16 @@ def lj_pair_terms(r2, mask, approx_reciprocal: bool = False, want_observables: b
         recip = one / r2_safe
     inv_r2 = jnp.where(mask, recip, 0.0)
     inv_r6 = inv_r2 * inv_r2 * inv_r2
-    inv_r12 = inv_r6 * inv_r6
-
-    du = inv_r6 - 2.0 * inv_r12
-    coef = -du * inv_r2
+    # coef = (2 r^-12 - r^-6) r^-2 factored as r^-2 r^-6 (2 r^-6 - 1):
+    # skips the r^-12 product on the force-only path (one fma + two muls
+    # total) and is MORE accurate near the zero-force point r = 2^(1/6)
+    # (2*inv_r6 - 1 is exact by Sterbenz for inv_r6 in [0.5, 1], where the
+    # old du = inv_r6 - 2*inv_r12 carried inv_r12's rounding error).
+    coef = inv_r2 * inv_r6 * (2.0 * inv_r6 - 1.0)
     if not want_observables:
-        return coef, du, None, None
+        return coef, None, None, None
+    inv_r12 = inv_r6 * inv_r6
+    du = inv_r6 - 2.0 * inv_r12
     e = inv_r12 - inv_r6
     ddu = 26.0 * inv_r12 - 7.0 * inv_r6
     return coef, du, e, ddu
