@@ -209,10 +209,10 @@ def bin_to_slots(r: jax.Array, grid: PencilGrid):
     """
     n = r.shape[0]
     pid = _pencil_ids(r[:, 0], r[:, 1], grid)
-    # Composite key: pencil-major, z-minor. f64 keeps the ordering exact
-    # (pid * (L+1) spacing >> z resolution).
-    key = pid.astype(jnp.float64) * (grid.box_length + 1.0) + r[:, 2].astype(jnp.float64)
-    order = jnp.argsort(key, stable=True)
+    # Lexicographic (pencil-major, z-minor) stable sort. lexsort keeps the
+    # ordering exact on any backend — the old f64 composite key truncated to
+    # f32 (with a UserWarning) on no-x64 backends like TPU.
+    order = jnp.lexsort((r[:, 2], pid))
     sorted_pid = pid[order]
     ranks_sorted = jnp.arange(n) - _run_starts(sorted_pid)
     ranks = jnp.zeros((n,), jnp.int32).at[order].set(ranks_sorted.astype(jnp.int32))
@@ -253,10 +253,7 @@ def rebin_slots(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid,
     # Invalid slots pushed to the end.
     pid_key = jnp.where(is_valid, pid, grid.n_pencils)
     if z_order:
-        key = pid_key.astype(jnp.float64) * (grid.box_length + 1.0) + jnp.where(
-            is_valid, z.astype(jnp.float64), 0.0
-        )
-        order = jnp.argsort(key, stable=True)
+        order = jnp.lexsort((jnp.where(is_valid, z, 0.0), pid_key))
         sorted_pid = pid_key[order]
     else:
         bits = max(1, (ns - 1).bit_length())
@@ -318,10 +315,9 @@ def rebin_gather(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid,
     is_valid = valid > 0.5
     pid_key = jnp.where(is_valid, pid, grid.n_pencils)
     if z_order:
-        key = pid_key.astype(jnp.float64) * (grid.box_length + 1.0) + jnp.where(
-            is_valid, rows_r[2].astype(jnp.float64), 0.0
-        )
-        order = jnp.argsort(key, stable=True).astype(jnp.int32)
+        order = jnp.lexsort(
+            (jnp.where(is_valid, rows_r[2], 0.0), pid_key)
+        ).astype(jnp.int32)
         sorted_pid = pid_key[order]
     else:
         bits = max(1, (ns - 1).bit_length())

@@ -22,11 +22,15 @@ def lj_pair_terms(r2, mask, approx_reciprocal: bool = False, want_observables: b
       mask: boolean tile; contributions outside are exactly zero.
       approx_reciprocal: VPU fast reciprocal + one Newton step (~1 ulp) in
         place of the exact divide.
-      want_observables: also return (e, ddu) per-pair partials; when False
-        those slots are None (the caller skips their reductions).
+      want_observables: also return the (du, e, ddu) per-pair partials; when
+        False the result is (coef, None, None, None) and the r^-12 product
+        is skipped entirely (force-only path).
 
     Returns (coef, du, e, ddu):
-      coef = -du / r^2        (force = 24 * coef * dr)
+      coef = r^-2 r^-6 (2 r^-6 - 1)   — the factored force coefficient;
+             analytically == -du / r^2 (force = 24 * coef * dr), computed
+             identically on both paths (the fast/obs bit-identity contract,
+             tests/test_pair_terms.py)
       du   = r dU/dr / 24     = r^-6 - 2 r^-12
       e    = U / 4            = r^-12 - r^-6
       ddu  = r^2 d2U/dr2 / 24 = 26 r^-12 - 7 r^-6
