@@ -431,6 +431,7 @@ def _zsort_engine(
     mxu_reduce: bool = False,
     trigger: str = "always",
     tail_tiles: bool = True,
+    trans_acc: bool | None = None,
 ) -> Engine:
     """Dense fused engine with sorted tile skipping.
 
@@ -616,6 +617,15 @@ def _zsort_engine(
     # (144 KiB) — measured fine on v5e; 32768 block pairs is the cliff.
     n_tile_pairs = (n_pad // tile_i) * (n_pad // tile_i)
     fused_viable = n_tile_pairs <= 32768
+    if trans_acc is None:
+        # Transposed i-side accumulators (fused_dense_chunk_list doc):
+        # MEASURED LOSS on v5e (exp_transacc 2026-08-19, differential:
+        # N=4000 57.5 -> 59.7/60.5 us/step, ~-4%) — the per-step zero +
+        # fold transpose of the (n_pad, 8) scratches costs more than the
+        # per-visit sublane->lane relayouts it removes (Mosaic evidently
+        # schedules those off the critical path). Kept opt-in for layout
+        # experiments; don't flip without a new differential win.
+        trans_acc = False
 
     def _lists(r8):
         flags = compute_tile_flags(
@@ -657,7 +667,14 @@ def _zsort_engine(
     _bits_pad = max(1, (n_pad - 1).bit_length())
     _slab_bits = max(1, (n_slabs - 1).bit_length()) if slab_sort else 0
     _zq_bits = 30 - _bits_pad - _slab_bits
-    assert _zq_bits >= 8, "z quantization too coarse; grow the int32 budget"
+    if _zq_bits < 8:
+        # Routable failure: make_engine's auto policy catches ValueError and
+        # falls through to the pencil engine (a bare assert aborted instead —
+        # VERDICT round-3 item 7).
+        raise ValueError(
+            f"z-sort key quantization too coarse ({_zq_bits} bits for "
+            f"n_pad={n_pad}, slabs={_slab_bits} bits); use the pencil engine"
+        )
 
     def _sort(c_arrays):
         r8, ru8, v8, a8, ids, rlo, vcc = c_arrays
@@ -833,7 +850,7 @@ def _zsort_engine(
                 c.r, c.v, c.a, c.tiles, c.tcounts, n, L, cfg.rc_square, dt, k,
                 tile_i=tile_i, tile_j=tile_j, interpret=interpret,
                 r_lo=c.rlo, vc=c.vc, j_granule=tile_i,
-                mxu_reduce=mxu_reduce,
+                mxu_reduce=mxu_reduce, trans_acc=trans_acc,
             )
             ru = c.ru + ((r_end - c.r) + (rlo_end - c.rlo))
             r_w, rlo_w = wrap_positions_ext(r_end, rlo_end, L)
@@ -843,7 +860,7 @@ def _zsort_engine(
         r_end, v, a = fused_dense_chunk_list(
             c.r, c.v, c.a, c.tiles, c.tcounts, n, L, cfg.rc_square, dt, k,
             tile_i=tile_i, tile_j=tile_j, interpret=interpret,
-            j_granule=tile_i, mxu_reduce=mxu_reduce,
+            j_granule=tile_i, mxu_reduce=mxu_reduce, trans_acc=trans_acc,
         )
         ru = c.ru + (r_end - c.r)
         return dataclasses.replace(

@@ -1031,6 +1031,7 @@ def _fused_dense_list_kernel(
     j_granule: int | None = None,
     mxu_reduce: bool = False,
     n_tails: int = 0,
+    trans_acc: bool = False,
 ):
     jg = tile_j if j_granule is None else j_granule
     has_jmin = j_granule is not None
@@ -1040,6 +1041,10 @@ def _fused_dense_list_kernel(
     outs = args[n_state:2 * n_state]
     f_acc = args[2 * n_state]
     f_acc2 = args[2 * n_state + 1]
+    # Transposed i-side accumulators (see fused_dense_chunk_list doc):
+    # (n_pad, 8) scratches, components in lanes 0..2.
+    fT_acc = args[2 * n_state + 2] if trans_acc else None
+    fT_acc2 = args[2 * n_state + 3] if trans_acc else None
     if extended:
         (r_out, rlo_out, v_out, vc_out, a_out) = outs
     else:
@@ -1083,8 +1088,12 @@ def _fused_dense_list_kernel(
             v_out[:, :] = v_out[:, :] + a_out[:, :] * half_dt
         f_acc[:, :] = jnp.zeros_like(f_acc)
         f_acc2[:, :] = jnp.zeros_like(f_acc2)
+        if trans_acc:
+            zcol = jnp.zeros((fT_acc.shape[0], 3), fT_acc.dtype)
+            fT_acc[:, 0:3] = zcol
+            fT_acc2[:, 0:3] = zcol
 
-        def visit(row, t, masked, fa, mic_z=True, mic_x=True,
+        def visit(row, t, masked, fa, faT=None, mic_z=True, mic_x=True,
                   width=tile_j, use_jmin=False):
             """One (i,j) tile visit accumulating into ``fa``. ``mic_z=False``
             / ``mic_x=False`` skip that axis's minimum-image round() — valid
@@ -1187,6 +1196,22 @@ def _fused_dense_list_kernel(
                 fa[0, jsl] -= tx[0, :]
                 fa[1, jsl] -= ty[0, :]
                 fa[2, jsl] -= tz[0, :]
+            elif faT is not None:
+                # Transposed i-side accumulation: the cross-lane reduction
+                # of (tile_i, width) along lanes yields a SUBLANE-major
+                # (tile_i, 1) vector; accumulating it into the (n_pad, 8)
+                # transposed scratch keeps it sublane-major — no per-visit
+                # sublane->lane relayout on the RMW dependency chain (the
+                # dominant per-visit cost, docs/RESULTS.md round-3
+                # accounting). One (n_pad, 8) -> (8, n_pad) transpose per
+                # step folds it back (see step end).
+                iT = pl.ds(i_lo, tile_i)
+                faT[iT, 0:1] += jnp.sum(fx, axis=1, keepdims=True)
+                faT[iT, 1:2] += jnp.sum(fy, axis=1, keepdims=True)
+                faT[iT, 2:3] += jnp.sum(fz, axis=1, keepdims=True)
+                fa[0, jsl] -= jnp.sum(fx, axis=0)
+                fa[1, jsl] -= jnp.sum(fy, axis=0)
+                fa[2, jsl] -= jnp.sum(fz, axis=0)
             else:
                 fa[0, isl] += jnp.sum(fx, axis=1)
                 fa[1, isl] += jnp.sum(fy, axis=1)
@@ -1226,10 +1251,10 @@ def _fused_dense_list_kernel(
         if dual_acc:
             def make_pair_body(row, masked, mic_z, mic_x, width, use_jmin):
                 def body(t, c2):
-                    visit(row, 2 * t, masked, f_acc, mic_z, mic_x,
+                    visit(row, 2 * t, masked, f_acc, fT_acc, mic_z, mic_x,
                           width=width, use_jmin=use_jmin)
-                    visit(row, 2 * t + 1, masked, f_acc2, mic_z, mic_x,
-                          width=width, use_jmin=use_jmin)
+                    visit(row, 2 * t + 1, masked, f_acc2, fT_acc2, mic_z,
+                          mic_x, width=width, use_jmin=use_jmin)
                     return c2
 
                 return body
@@ -1244,7 +1269,7 @@ def _fused_dense_list_kernel(
 
                 @pl.when(cnt % 2 == 1)
                 def _odd_tail():
-                    visit(row, cnt - 1, masked, f_acc, mic_z, mic_x,
+                    visit(row, cnt - 1, masked, f_acc, fT_acc, mic_z, mic_x,
                           width=width, use_jmin=use_jmin)
 
             for row, masked, mic_z, mic_x in categories:
@@ -1253,11 +1278,14 @@ def _fused_dense_list_kernel(
             for row, cidx, width in tail_rows:
                 run_dual(row, cidx, True, True, True, width, False)
 
-            a_out[:, :] = 24.0 * (f_acc[:, :] + f_acc2[:, :])
+            tot = f_acc[:, :] + f_acc2[:, :]
+            if trans_acc:
+                tot = tot + (fT_acc[:, :] + fT_acc2[:, :]).T
+            a_out[:, :] = 24.0 * tot
         else:
             def make_body(row, masked, mic_z, mic_x, width, use_jmin):
                 def body(t, c2):
-                    visit(row, t, masked, f_acc, mic_z, mic_x,
+                    visit(row, t, masked, f_acc, fT_acc, mic_z, mic_x,
                           width=width, use_jmin=use_jmin)
                     return c2
 
@@ -1274,7 +1302,10 @@ def _fused_dense_list_kernel(
                     0, tcounts_ref[cidx],
                     make_body(row, True, True, True, width, False), 0,
                 )
-            a_out[:, :] = 24.0 * f_acc[:, :]
+            tot = f_acc[:, :]
+            if trans_acc:
+                tot = tot + fT_acc[:, :].T
+            a_out[:, :] = 24.0 * tot
         if extended:
             _comp_add(v_out, vc_out, a_out[:, :] * half_dt)
         else:
@@ -1299,6 +1330,7 @@ def _fused_dense_list_kernel(
         "dual_acc",
         "j_granule",
         "mxu_reduce",
+        "trans_acc",
     ),
 )
 def fused_dense_chunk_list(
@@ -1321,6 +1353,7 @@ def fused_dense_chunk_list(
     dual_acc: bool = True,
     j_granule: int | None = None,
     mxu_reduce: bool = False,
+    trans_acc: bool = False,
 ) -> tuple[jax.Array, ...]:
     """``fused_dense_chunk_flags`` with the active tiles given as a compact
     LIST (from ``build_tile_lists``) instead of a per-tile flag sweep —
@@ -1333,9 +1366,23 @@ def fused_dense_chunk_list(
     ``j_granule``: j entries of ``tiles`` are in units of this many columns
     (from ``build_window_lists``; tiles is then the 4-category (9, max_t)
     layout with jmin in row 8 and tile_i-granular starts). None = tile_j
-    units (build_tile_lists' 3-category (6, max_t) layout)."""
+    units (build_tile_lists' 3-category (6, max_t) layout).
+
+    ``trans_acc``: accumulate the i-side force sums in TRANSPOSED
+    (n_pad, 8) scratches so the per-visit cross-lane reduction result
+    ((tile_i, 1), sublane-major) is accumulated without a sublane->lane
+    relayout — the relayout sat on the f_acc RMW dependency chain and was
+    the dominant per-visit overhead (round-3 accounting,
+    docs/RESULTS.md). One (n_pad, 8) transpose per step folds the i sums
+    back into row layout. Costs 2 x n_pad x 128 x 4 bytes of VMEM
+    (physical lane padding), so it is for small/mid n_pad only; summation
+    ORDER differs from the lane-layout path (i and j contributions fold
+    at step end instead of interleaving), so results are equivalent but
+    not bit-identical."""
     if n_steps > MAX_CHUNK_STEPS:
         raise ValueError(f"n_steps={n_steps} exceeds MAX_CHUNK_STEPS={MAX_CHUNK_STEPS}")
+    if trans_acc and mxu_reduce:
+        raise ValueError("trans_acc and mxu_reduce are mutually exclusive")
     extended = r_lo is not None
     n_pad = r.shape[1]
     # Tail lists are present iff the builder emitted the extended row
@@ -1357,6 +1404,7 @@ def fused_dense_chunk_list(
         j_granule=j_granule,
         mxu_reduce=mxu_reduce,
         n_tails=n_tails,
+        trans_acc=trans_acc,
     )
     n_state = 5 if extended else 3
     out_shape = [jax.ShapeDtypeStruct((8, n_pad), r.dtype)] * n_state
@@ -1364,13 +1412,16 @@ def fused_dense_chunk_list(
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     pairs_per_step = n_pad * n_pad // 2
     ins = (tcounts, tiles, r, r_lo, v, vc, a) if extended else (tcounts, tiles, r, v, a)
+    scratch = [pltpu.VMEM((8, n_pad), r.dtype)] * 2
+    if trans_acc:
+        scratch += [pltpu.VMEM((n_pad, 8), r.dtype)] * 2
     return tuple(
         pl.pallas_call(
             kernel,
             in_specs=[smem, smem] + [vmem] * n_state,
             out_specs=[vmem] * n_state,
             out_shape=out_shape,
-            scratch_shapes=[pltpu.VMEM((8, n_pad), r.dtype)] * 2,
+            scratch_shapes=scratch,
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=int((26 if extended else 20) * pairs_per_step) * n_steps,
