@@ -386,6 +386,49 @@ def make_spatial_engine(
     spec = spatial_state_specs()
     obs_spec = StepObs(P(), P(), P(), P())
     p = P(PARTICLE_AXIS, None)
+
+    # Fused multi-step chunks (VERDICT round-3 item 2): the whole k-step
+    # loop runs INSIDE one shard_map — per-step ring/all_gather exchange and
+    # local sweep compile into a single program per device, so the per-step
+    # launch + collective dispatch glue does not return at N chips. The rect
+    # path has no spatial bins, hence no rebin cadence: one shard_map per
+    # run_fast call, lax.scan over the steps inside (no gather-rebin in the
+    # module, so the v5e rebin+scan miscompile class does not apply).
+    chunk_fns: dict[int, object] = {}
+
+    def _make_chunk_fn(k: int):
+        if step_local.compensated:
+            def chunk_local(carry):
+                def body(c, _):
+                    (st, rc, vc), _obs = step_local(*c)
+                    return (st, rc, vc), None
+
+                c, _ = lax.scan(body, carry, None, length=k)
+                return c
+
+            return shard_map(
+                chunk_local, mesh=mesh, in_specs=(((spec, p, p)),),
+                out_specs=(spec, p, p), check_vma=False,
+            )
+
+        def chunk_local(state):
+            def body(st, _):
+                st2, _obs = step_local(st)
+                return st2, None
+
+            st, _ = lax.scan(body, state, None, length=k)
+            return st
+
+        return shard_map(
+            chunk_local, mesh=mesh, in_specs=(spec,), out_specs=spec,
+            check_vma=False,
+        )
+
+    def run_fast(carry, n_steps: int):
+        if n_steps not in chunk_fns:
+            chunk_fns[n_steps] = _make_chunk_fn(n_steps)
+        return chunk_fns[n_steps](carry)
+
     if step_local.compensated:
         # Carry = (MDState, rc, vc): the compensated multi-chip step (a
         # dt=1e-4 f32 run must not drift the way the single-chip path was
@@ -416,6 +459,7 @@ def make_spatial_engine(
             get_state=get_state,
             diagnostics=lambda c: {},
             step_fast=step,
+            run_fast=run_fast,
         )
 
     step = shard_map(
@@ -436,4 +480,5 @@ def make_spatial_engine(
         get_state=lambda c: c,
         diagnostics=lambda c: {},
         step_fast=step,
+        run_fast=run_fast,
     )

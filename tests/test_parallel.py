@@ -388,3 +388,101 @@ def test_sharded_pencil_compensated_dt1em4_tracks_f64_oracle():
     # compensated sharded path must recover a significantly better
     # trajectory (the single-chip engines' bar, test_compensated.py:55).
     assert err_comp < err_plain * 0.5, (err_comp, err_plain)
+
+
+def test_spatial_engine_run_fast_matches_per_step():
+    """Fused multi-chip chunks (VERDICT round-3 item 2): the k-step loop
+    inside ONE shard_map must reproduce k per-step shard_map calls exactly
+    (same step body, same collectives — only the dispatch granularity
+    changes)."""
+    from jax.sharding import Mesh
+
+    from ljmd_tpu.parallel.mesh import PARTICLE_AXIS
+    from ljmd_tpu.parallel.spatial import make_spatial_engine
+
+    cfg = small_cfg()
+    state = initialize(cfg, backend="dense")
+    mesh = Mesh(np.array(jax.devices()[:4]), (PARTICLE_AXIS,))
+    eng = make_spatial_engine(cfg, mesh, comm="ring")
+
+    c1, _ = eng.init(state)
+    c2, _ = eng.init(state)
+    c1 = jax.jit(lambda c: eng.run_fast(c, 9))(c1)
+    stepj = jax.jit(eng.step)
+    for _ in range(9):
+        c2, _ = stepj(c2)
+    s1, s2 = eng.get_state(c1), eng.get_state(c2)
+    for f in ("r", "ru", "v", "a"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1, f)), np.asarray(getattr(s2, f)),
+            rtol=0, atol=1e-12, err_msg=f,
+        )
+
+
+@pytest.mark.slow
+def test_sharded_pencil_run_fast_matches_per_step():
+    """Chunked sharded-pencil advance (per-chunk global rebin + k unrolled
+    steps of halo-ppermute + local sweep inside one shard_map) == k per-step
+    calls of the same engine."""
+    from jax.sharding import Mesh
+
+    from ljmd_tpu.parallel.mesh import PARTICLE_AXIS
+    from ljmd_tpu.parallel.spatial_pencil import make_sharded_pencil_engine
+
+    cfg = config_from_density(
+        num_cells=6, density=0.8442, dt=0.004, dtype="float64",
+        neighbor_skin=0.49,
+    )
+    st = _melted_state(cfg, temp=1.2)
+    mesh = Mesh(np.array(jax.devices()[:3]), (PARTICLE_AXIS,))
+    eng = make_sharded_pencil_engine(cfg, mesh)
+
+    c1, _ = eng.init(st)
+    c2, _ = eng.init(st)
+    c1 = jax.jit(lambda c: eng.run_fast(c, 16))(c1)
+    stepj = jax.jit(eng.step_fast)
+    for _ in range(16):
+        c2, _ = stepj(c2)
+    s1, s2 = eng.get_state(c1), eng.get_state(c2)
+    # The chunked path rebins once per 8-step chunk while the per-step path
+    # rebins on the displacement cond — identical physics, different
+    # reduction orders after a rebin; f64 keeps them within 1e-9.
+    for f in ("r", "ru", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1, f)), np.asarray(getattr(s2, f)),
+            rtol=0, atol=1e-9, err_msg=f,
+        )
+    assert not bool(jax.device_get(c1.overflow))
+
+
+@pytest.mark.slow
+def test_sharded_pencil_pallas_matches_jnp_sweep():
+    """The production Pallas local sweep (mono half-shell kernel on the
+    strip + halo, sentinel slots, device shift tables; interpret mode on
+    CPU) == the validity-masked jnp fallback, through chunked advance."""
+    from jax.sharding import Mesh
+
+    from ljmd_tpu.parallel.mesh import PARTICLE_AXIS
+    from ljmd_tpu.parallel.spatial_pencil import make_sharded_pencil_engine
+
+    cfg = config_from_density(
+        num_cells=6, density=0.8442, dt=0.004, dtype="float64",
+        neighbor_skin=0.49,
+    )
+    st = _melted_state(cfg, temp=1.2)
+    mesh = Mesh(np.array(jax.devices()[:3]), (PARTICLE_AXIS,))
+    ej = make_sharded_pencil_engine(cfg, mesh, use_pallas=False)
+    ep = make_sharded_pencil_engine(cfg, mesh, use_pallas=True, interpret=True)
+
+    cj, oj = ej.init(st)
+    cp, op = ep.init(st)
+    assert float(op.epot) == pytest.approx(float(oj.epot), rel=1e-12)
+    assert float(op.d_epot) == pytest.approx(float(oj.d_epot), rel=1e-12)
+    cj = jax.jit(lambda c: ej.run_fast(c, 8))(cj)
+    cp = jax.jit(lambda c: ep.run_fast(c, 8))(cp)
+    sj, sp_ = ej.get_state(cj), ep.get_state(cp)
+    for f in ("r", "ru", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sp_, f)), np.asarray(getattr(sj, f)),
+            rtol=0, atol=1e-9, err_msg=f,
+        )
