@@ -142,7 +142,7 @@ def test_cellpair_init_force_parity():
 
 
 def test_cellpair_trajectory_matches_dense():
-    cfg = big_cfg(neighbor_skin=0.2)  # small skin -> forces several rebins
+    cfg = big_cfg(neighbor_skin=0.2, total_steps=40)  # small skin -> several rebins
     state = initialize(cfg, backend="dense")
     out_d = run_production(cfg, state, backend="dense")
     out_c = run_production(cfg, state, backend="cellpair", record_frames=True)
@@ -283,13 +283,13 @@ def test_unfused_run_fast_matches_per_step():
     assert eng.run_fast is not None
 
     c0, _ = eng.init(state)
-    c_fast = jax.jit(lambda c: eng.run_fast(c, 40))(c0)
+    c_fast = jax.jit(lambda c: eng.run_fast(c, 24))(c0)
 
     def body(c, _):
         c2, _ob = eng.step_fast(c)
         return c2, None
 
-    c_step = jax.jit(lambda c: jax.lax.scan(body, c, None, length=40)[0])(c0)
+    c_step = jax.jit(lambda c: jax.lax.scan(body, c, None, length=24)[0])(c0)
     assert not bool(jax.device_get(c_fast.overflow))
     s_f, s_s = eng.get_state(c_fast), eng.get_state(c_step)
     for field in ("r", "ru", "v"):
@@ -299,6 +299,7 @@ def test_unfused_run_fast_matches_per_step():
         )
 
 
+@pytest.mark.slow
 def test_unfused_run_fast_through_production_driver():
     """run_production must produce identical sampled observables whether
     the pencil engine runs the fused kernel or the chunked unfused
@@ -419,7 +420,7 @@ def test_make_engine_state_aware_capacity():
     assert ct.r.shape[1] == 9 * 128  # census capacity applied
     step_t = jax.jit(lambda c: eng_t.step_fast(c)[0])
     step_d = jax.jit(lambda c: eng_d.step_fast(c)[0])
-    for _ in range(12):
+    for _ in range(6):
         ct = step_t(ct)
         cd = step_d(cd)
     st, sd = eng_t.get_state(ct), eng_d.get_state(cd)
@@ -531,6 +532,6 @@ def test_ensemble_vmap_cellpair_state_capacity():
     instead of crashing on np.asarray(tracer) (regression)."""
     from ljmd_tpu.parallel.ensemble import ensemble_simulate
 
-    cfg = big_cfg(total_steps=30, warmup_steps=5, output_interval=10)
+    cfg = big_cfg(total_steps=10, warmup_steps=2, output_interval=5)
     agg = ensemble_simulate(cfg, n_replicas=2, backend="cellpair", jit=False)
     assert np.all(np.isfinite(np.asarray(agg.mean_of_means)))

@@ -1,6 +1,7 @@
 """Kahan-compensated f32 integration: closer to the f64 oracle than plain
 f32 at small dt (the f32-roundoff-floor regime)."""
 
+import pytest
 import jax
 import numpy as np
 
@@ -55,6 +56,7 @@ def test_compensation_reduces_f32_error():
     assert err_comp < err_plain * 0.5, (err_comp, err_plain)
 
 
+@pytest.mark.slow
 def test_cellpair_compensation_reduces_f32_error():
     """Same oracle comparison for the pencil engine (its own Kahan path)."""
     import jax.numpy as jnp

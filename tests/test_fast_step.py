@@ -59,6 +59,7 @@ def test_fast_step_trajectory_identical(engine_name):
     assert np.isfinite(float(ob.epot)) and np.isfinite(float(ob.ekin))
 
 
+@pytest.mark.slow
 def test_streaming_with_cellpair_backend(tmp_path):
     from ljmd_tpu.models.simulation import run_production
     from ljmd_tpu.models.streaming import run_production_streaming

@@ -115,8 +115,8 @@ def test_zsort_engine_matches_rows_engine():
     cr, obr = er.init(state)
     assert float(obz.epot) == pytest.approx(float(obr.epot), rel=1e-12)
 
-    cz = jax.jit(lambda c: ez.run_fast(c, 40))(cz)
-    cr = jax.jit(lambda c: er.run_fast(c, 40))(cr)
+    cz = jax.jit(lambda c: ez.run_fast(c, 24))(cz)
+    cr = jax.jit(lambda c: er.run_fast(c, 24))(cr)
     sz, sr = ez.get_state(cz), er.get_state(cr)
     for field in ("r", "ru", "v", "a"):
         np.testing.assert_allclose(
@@ -157,8 +157,8 @@ def test_zsort_slab_matches_rows_engine():
     tc = np.asarray(cz.tcounts)
     assert tc.sum() > 0, tc
 
-    cz = jax.jit(lambda c: ez.run_fast(c, 40))(cz)
-    cr = jax.jit(lambda c: er.run_fast(c, 40))(cr)
+    cz = jax.jit(lambda c: ez.run_fast(c, 24))(cz)
+    cr = jax.jit(lambda c: er.run_fast(c, 24))(cr)
     sz, sr = ez.get_state(cz), er.get_state(cr)
     for field in ("r", "ru", "v", "a"):
         np.testing.assert_allclose(
@@ -168,6 +168,7 @@ def test_zsort_slab_matches_rows_engine():
     assert not bool(jax.device_get(cz.invalid))
 
 
+@pytest.mark.slow
 def test_zsort_slab_free_visits():
     """Slab mode at N=2048 (blocks z-compact within slabs): 'free' visits —
     skipping BOTH the x and z MIC rounds in the kernel — must exist and the
@@ -208,7 +209,7 @@ def test_zsort_production_driver():
 
     cfg = config_from_density(
         num_cells=6, density=0.8, dt=0.003, dtype="float64",
-        total_steps=60, output_interval=10, warmup_steps=10,
+        total_steps=40, output_interval=10, warmup_steps=10,
         target_total_energy=-4000.0,
     )
     state = initialize(cfg, backend="dense")
@@ -315,8 +316,8 @@ def test_zsort_extended_matches_rows_compensated():
         c2, _o = er.step_fast(c)
         return c2, None
 
-    cr2 = jax.jit(lambda c: jax.lax.scan(body, c, None, length=40)[0])(cr)
-    cz2 = jax.jit(lambda c: ez.run_fast(c, 40))(cz)
+    cr2 = jax.jit(lambda c: jax.lax.scan(body, c, None, length=24)[0])(cr)
+    cz2 = jax.jit(lambda c: ez.run_fast(c, 24))(cz)
     sz, sr = ez.get_state(cz2), er.get_state(cr2)
     for field in ("r", "ru", "v", "a"):
         np.testing.assert_allclose(
@@ -332,7 +333,7 @@ def test_zsort_frames_particle_order():
 
     cfg = config_from_density(
         num_cells=6, density=0.8, dt=0.003, dtype="float64",
-        total_steps=30, output_interval=10, warmup_steps=0,
+        total_steps=20, output_interval=10, warmup_steps=0,
         target_total_energy=-4000.0,
     )
     state = initialize(cfg, backend="dense")
@@ -346,6 +347,7 @@ def test_zsort_frames_particle_order():
         )
 
 
+@pytest.mark.slow
 def test_zsort_mxu_reduce_matches_rows_engine():
     """mxu_reduce=True (force sums via ones-matmul on the MXU) must match
     the rows engine exactly in interpret f64 — the bf16x3 question only

@@ -262,7 +262,10 @@ def test_width_kernel_matches_static_kernel(extended):
         assert da < 1e-12 * scale, (da, scale)
 
 
-@pytest.mark.parametrize("compensated", [False, True])
+@pytest.mark.parametrize(
+    "compensated",
+    [False, pytest.param(True, marks=pytest.mark.slow)],
+)
 def test_width_lists_engine_matches_per_step(compensated):
     """width_lists=True run_fast == the per-step sweep across rebins (the
     full plumbing: init lists, rebin list refresh, chunked width kernel)."""

@@ -90,6 +90,7 @@ def test_record_codec_roundtrip_property(tmp_path_factory, payloads, marker):
         elements=st.floats(min_value=0.5, max_value=100.0),
     )
 )
+@pytest.mark.slow
 def test_means_accumulator_property(series):
     """Streaming moments equal direct numpy statistics for any positive-K
     series (K > 0 is the physical domain)."""

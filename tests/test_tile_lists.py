@@ -148,8 +148,7 @@ def test_window_lists_cover_active_blocks_exactly_once():
     once; no column is double-covered (jmin dedup on clamped visits); no
     slice leaves [0, n_pad)."""
     rng = np.random.default_rng(7)
-    for n, n_pad, ti, tj in ((4000, 4096, 128, 512), (500, 512, 128, 512),
-                             (2048, 2048, 128, 512)):
+    for n, n_pad, ti, tj in ((4000, 4096, 128, 512), (500, 512, 128, 512)):
         n_i, n_b = n_pad // ti, n_pad // ti
         flags = jnp.asarray(
             rng.integers(0, 8, size=(n_i * n_b,)).astype(np.int32)
@@ -354,7 +353,7 @@ def test_zsort_engine_tail_tiles_physics_invariant():
     from ljmd_tpu.models.lattice import fcc_lattice, random_velocities, remove_com_velocity
     from ljmd_tpu.state import MDState
 
-    cfg = config_from_density(num_cells=7, density=0.8442, dt=0.004,
+    cfg = config_from_density(num_cells=6, density=0.8442, dt=0.004,
                               dtype="float64")
     r = fcc_lattice(cfg.num_cells, cfg.box_length, dtype=jnp.float64)
     v = remove_com_velocity(
@@ -365,7 +364,7 @@ def test_zsort_engine_tail_tiles_physics_invariant():
     for tails in (False, True):
         eng = _zsort_engine(cfg, interpret=True, tail_tiles=tails)
         c, _ = eng.init(st)
-        c = eng.run_fast(c, 24)
+        c = eng.run_fast(c, 16)
         s = eng.get_state(c)
         outs.append((np.asarray(s.r), np.asarray(s.v)))
     np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=0, atol=1e-12)
