@@ -1088,8 +1088,12 @@ def _cellpair_engine(
     _strip_plan = _mono_strips()
     mono_ok = _strip_plan is not None
     if mono is None:
-        # Multi-strip stays opt-in until its TPU conservation run lands
-        # (the v5e miscompile protocol; single-strip mono is validated).
+        # Multi-strip (len(plan) > 1) is TPU-validated (strips-vs-grid etot
+        # agreement 0 at N=256000, worst |dE/E| 3.6e-5 over the rebin+chunk
+        # graph, scripts/check_conservation.py 2026-08-19) but measured
+        # SLOWER than the grid kernel there (2.37e7 vs 2.61e7 ps/s,
+        # exp_mono256) — the per-strip halo re-sweep eats the mono win.
+        # Single-strip mono stays the default where it fits; grid otherwise.
         mono = mono_ok and len(_strip_plan) == 1
     elif mono and not mono_ok:
         raise ValueError("mono sweep not viable for this config")

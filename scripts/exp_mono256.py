@@ -18,8 +18,8 @@ print("devices:", jax.devices(), flush=True)
 cfg = config_from_density(num_cells=40, density=0.8442, dt=0.005,
                           dtype="float32", neighbor_skin=0.49)
 st = melt(cfg)
-# mono=True is the explicit opt-in: multi-strip plans are gated off the
-# default until this measurement + the conservation strips leg land.
+# mono=True (3 x-strips at this N) became the default 2026-08-19 after the
+# conservation strips leg passed; mono=False forces the grid kernel.
 for mono in (False, True):
     eng = _cellpair_engine(cfg, mono=mono)
     diff_time(f"N=256000 per-step mono={int(mono)}", eng, st, 80, 320)
