@@ -137,7 +137,6 @@ def cmd_analyze(args) -> int:
 
 def cmd_ensemble(args) -> int:
     from ljmd_tpu.parallel.ensemble import ensemble_simulate, replica_result
-    from ljmd_tpu.stats.moments import OBSERVABLES
 
     cfg = _load_cfg(args)
     n_runs = args.n_runs or cfg.n_runs
@@ -174,9 +173,20 @@ def cmd_ensemble(args) -> int:
     else:
         out = ensemble_simulate(cfg, n_replicas=n_runs, backend=args.backend)
 
+    write_ensemble_artifacts(out_dir, cfg, out, n_runs)
+    print(f"{n_runs} replicas in {time.time()-t0:.1f}s; results in {out_dir}")
+    return 0
+
+
+def write_ensemble_artifacts(out_dir, cfg, out, n_runs) -> None:
+    """Cross-run ensemble artifact set: means.txt, simulation_results.{txt,json},
+    corrmean_runs_*.dat (the reference aggregator's output contract,
+    simulation_results.f90 / run_many_md.f90:74-82)."""
+    from ljmd_tpu.stats.moments import OBSERVABLES
+
+    os.makedirs(out_dir, exist_ok=True)
     # Per-run means.dat-style records + cross-run simulation_results
     means = np.asarray(out.replica_means)
-    stds = np.asarray(out.replica_stds)
     lines = ["# run  " + "  ".join(OBSERVABLES)]
     for rmean in means:
         lines.append("  ".join(f"{v: .12e}" for v in rmean))
@@ -215,9 +225,6 @@ def cmd_ensemble(args) -> int:
         for k, v in out.thermo.as_dict().items():
             arr = np.asarray(v)
             f.write(f"{k}: mean {arr.mean(): .12e}  std {arr.std(): .12e}\n")
-
-    print(f"{n_runs} replicas in {time.time()-t0:.1f}s; results in {out_dir}")
-    return 0
 
 
 def cmd_run_all(args) -> int:

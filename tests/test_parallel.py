@@ -237,6 +237,36 @@ def test_streaming_ensemble_matches_in_memory():
                                np.asarray(want.mean_of_means), rtol=1e-12)
 
 
+@pytest.mark.slow
+def test_streaming_ensemble_8_replicas_end_to_end(tmp_path):
+    """Config-4-at-scale streaming shape on CPU (round-4 VERDICT item 5):
+    8 replicas through ensemble_simulate_streaming, all replicas healthy,
+    per-replica drift bounded, full artifact set written via the shared
+    CLI writer (run_many_md.f90:57-82 output contract)."""
+    from ljmd_tpu.cli import write_ensemble_artifacts
+    from ljmd_tpu.parallel.ensemble import ensemble_simulate_streaming
+
+    cfg = small_cfg(total_steps=400, warmup_steps=40, n_runs=8)
+    out = ensemble_simulate_streaming(cfg, n_replicas=8, chunk_samples=16)
+
+    assert isinstance(out.series, np.ndarray)
+    assert out.series.shape[0] == 8
+    assert int(np.asarray(out.n_ok)) == 8
+    etot = np.asarray(out.series)[:, 2, :]
+    drift = np.abs((etot[:, -1] - etot[:, 0]) / etot[:, 0])
+    # at N=32 the unshifted-truncation crossing noise dominates (~1/N per
+    # crossing); this guards against divergence, not integrator precision
+    assert drift.max() < 0.05
+
+    d = tmp_path / "ens"
+    write_ensemble_artifacts(str(d), cfg, out, 8)
+    for name in ("means.txt", "simulation_results.json",
+                 "simulation_results.txt", "corrmean_runs_epot.dat"):
+        assert (d / name).exists()
+    means = np.loadtxt(d / "means.txt", skiprows=1)
+    assert means.shape[0] == 8
+
+
 # ---------------------------------------------------------------------------
 # Sharded STRUCTURED engine (pencil strips + ppermute halo exchange) and the
 # multi-chip precision policy (VERDICT round-2 item 3).
