@@ -98,9 +98,14 @@ def analyze_run(
         stride = origin_stride if origin_stride is not None else default_origin_stride(n_snap)
         dt_frame = data.dt * data.output_interval
 
-        ru = jnp.asarray(data.ru, dtype=jnp.float64)
-        v = jnp.asarray(data.v, dtype=jnp.float64)
-        r = jnp.asarray(data.r, dtype=jnp.float64)
+        # Widest dtype the backend supports (f64 needs jax_enable_x64; on a
+        # no-x64 backend asking for float64 only truncates with a warning).
+        import jax as _jax
+
+        wide = jnp.float64 if _jax.config.jax_enable_x64 else jnp.float32
+        ru = jnp.asarray(data.ru, dtype=wide)
+        v = jnp.asarray(data.v, dtype=wide)
+        r = jnp.asarray(data.r, dtype=wide)
 
         msd = np.asarray(compute_msd(ru, max_lag=max_lag, origin_stride=stride))
         vacf = np.asarray(compute_vacf(v, max_lag=max_lag, origin_stride=stride))
