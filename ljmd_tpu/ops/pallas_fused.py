@@ -250,7 +250,7 @@ def _fused_dense_kernel(
                     # measured SLOWER — 98.97 -> 134.4 us/step at N=4000 —
                     # the per-tile pl.when pair defeats Mosaic pipelining;
                     # see CLAUDE.md perf notes.)
-                    pl.when(flags_ref[it * n_j + jt] > 0)(tile_body)
+                    pl.when(flags_ref[0, it * n_j + jt] > 0)(tile_body)
                 else:
                     tile_body()
 
@@ -428,7 +428,9 @@ def fused_dense_chunk_flags(
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     pairs_per_step = n_pad * n_pad // 2
-    ins = (flags, r, r_lo, v, vc, a) if extended else (flags, r, v, a)
+    # leading dummy axis: batch-legal under vmap (see _pack_window_kernel)
+    flags2 = flags.reshape(1, -1)
+    ins = (flags2, r, r_lo, v, vc, a) if extended else (flags2, r, v, a)
     return tuple(
         pl.pallas_call(
             kernel,
@@ -672,11 +674,15 @@ def _window_max_t(n_pad: int, tile_i: int, tile_j: int) -> int:
 
 
 def _pack_window_kernel(
-    bounds_ref,  # SMEM (2,) int32: [n_i, n_b] as DYNAMIC loop bounds
+    bounds_ref,  # SMEM (1, 2) int32: [n_i, n_b] as DYNAMIC loop bounds
     rowspan_ref,  # SMEM (2, n_i) int32: per-row [first, last+1) active block
-    flags_ref,   # SMEM (n_i*n_b,) int32
+    flags_ref,   # SMEM (1, n_i*n_b) int32
     tiles_ref,   # SMEM (9, max_t) int32 out
-    tcounts_ref,  # SMEM (4,) int32 out
+    tcounts_ref,  # SMEM (1, 4) int32 out
+    # NOTE: the 1-D operands carry a leading dummy axis so the kernel stays
+    # legal under vmap (batched ensembles): pallas batching prepends a
+    # Squeezed dim, and Mosaic's last-two-dims block rule rejects a 1-D
+    # SMEM operand batched to (R, k).
     *,
     n: int,
     tile_i: int,
@@ -698,11 +704,11 @@ def _pack_window_kernel(
     span = tile_j // g
     n_tails = span - 1 if tail_tiles and span > 1 else 0
     n_rows = 9 + 2 * n_tails
-    n_b_dyn = bounds_ref[1]
+    n_b_dyn = bounds_ref[0, 1]
     max_start = n_b_dyn - span
 
     for c in range(4 + n_tails):
-        tcounts_ref[c] = 0
+        tcounts_ref[0, c] = 0
 
     if zero_fill:
         def zero_body(k, carry):
@@ -710,11 +716,11 @@ def _pack_window_kernel(
                 tiles_ref[rr, k] = 0
             return carry
 
-        jax.lax.fori_loop(0, bounds_ref[0] * 0 + max_t, zero_body, 0)
+        jax.lax.fori_loop(0, bounds_ref[0, 0] * 0 + max_t, zero_body, 0)
 
     def row_body(row, carry):
         def blk(b, covered):
-            f = flags_ref[row * n_b_dyn + b]
+            f = flags_ref[0, row * n_b_dyn + b]
             trig = (f > 0) & (b >= row) & (b >= covered)
 
             @pl.when(trig)
@@ -725,7 +731,7 @@ def _pack_window_kernel(
                 width = jnp.int32(1)
                 for k in range(1, span):
                     cb = b + k
-                    fz = flags_ref[row * n_b_dyn + jnp.minimum(cb, n_b_dyn - 1)]
+                    fz = flags_ref[0, row * n_b_dyn + jnp.minimum(cb, n_b_dyn - 1)]
                     live = cb < n_b_dyn
                     zneed = zneed | (live & ((fz & 2) != 0))
                     xneed = xneed | (live & ((fz & 4) != 0))
@@ -738,10 +744,10 @@ def _pack_window_kernel(
                     for tw in range(1, span):
                         @pl.when(width == tw)
                         def _tail(tw=tw):
-                            kt = tcounts_ref[4 + tw - 1]
+                            kt = tcounts_ref[0, 4 + tw - 1]
                             tiles_ref[9 + 2 * (tw - 1), kt] = row
                             tiles_ref[9 + 2 * (tw - 1) + 1, kt] = b
-                            tcounts_ref[4 + tw - 1] = kt + 1
+                            tcounts_ref[0, 4 + tw - 1] = kt + 1
 
                 def _bulk():
                     needs_mask = (
@@ -754,7 +760,7 @@ def _pack_window_kernel(
                         needs_mask, 3,
                         jnp.where(zneed, 2, jnp.where(xneed, 1, 0)),
                     )
-                    k0 = tcounts_ref[cat]
+                    k0 = tcounts_ref[0, cat]
                     tiles_ref[2 * cat, k0] = row
                     tiles_ref[2 * cat + 1, k0] = s
 
@@ -767,7 +773,7 @@ def _pack_window_kernel(
                     def _jmin():
                         tiles_ref[8, k0] = jnp.where(b > s, b, 0)
 
-                    tcounts_ref[cat] = k0 + 1
+                    tcounts_ref[0, cat] = k0 + 1
 
                 if n_tails:
                     pl.when(width == span)(_bulk)
@@ -786,7 +792,7 @@ def _pack_window_kernel(
         )
         return carry
 
-    jax.lax.fori_loop(0, bounds_ref[0], row_body, 0)
+    jax.lax.fori_loop(0, bounds_ref[0, 0], row_body, 0)
 
 
 @functools.partial(
@@ -824,7 +830,7 @@ def build_window_lists_pallas(
         zero_fill=zero_fill, tail_tiles=tail_tiles,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    bounds = jnp.array([n_i, n_b], dtype=jnp.int32)
+    bounds = jnp.array([[n_i, n_b]], dtype=jnp.int32)
     # Per-row active-block band: the scalar cover loop scans only
     # [max(first, row), last+1) instead of all n_b blocks.
     f2 = (flags.reshape(n_i, n_b) > 0)
@@ -836,16 +842,17 @@ def build_window_lists_pallas(
         jnp.where(any_row, first, n_b).astype(jnp.int32),
         jnp.where(any_row, last1, 0).astype(jnp.int32),
     ])
-    return pl.pallas_call(
+    tiles, tcounts = pl.pallas_call(
         kernel,
         in_specs=[smem, smem, smem],
         out_specs=[smem, smem],
         out_shape=[
             jax.ShapeDtypeStruct((9 + 2 * n_tails, max_t), jnp.int32),
-            jax.ShapeDtypeStruct((4 + n_tails,), jnp.int32),
+            jax.ShapeDtypeStruct((1, 4 + n_tails), jnp.int32),
         ],
         interpret=interpret,
-    )(bounds, rowspan, flags.astype(jnp.int32))
+    )(bounds, rowspan, flags.astype(jnp.int32).reshape(1, -1))
+    return tiles, tcounts[0]
 
 
 def build_window_lists(
@@ -1014,7 +1021,7 @@ def build_window_lists(
 
 
 def _fused_dense_list_kernel(
-    tcounts_ref,  # SMEM (3 or 4,) int32: visit count per category
+    tcounts_ref,  # SMEM (1, 4 + n_tails) int32: visit count per category
     tiles_ref,    # SMEM (6 or 9, max_t) int32: i/j block indices per category
     *args,        # ins (3 or 5), outs (3 or 5), f_acc scratch
     n: int,
@@ -1260,7 +1267,7 @@ def _fused_dense_list_kernel(
                 return body
 
             def run_dual(row, cidx, masked, mic_z, mic_x, width, use_jmin):
-                cnt = tcounts_ref[cidx]
+                cnt = tcounts_ref[0, cidx]
                 jax.lax.fori_loop(
                     0, cnt // 2,
                     make_pair_body(row, masked, mic_z, mic_x, width,
@@ -1293,13 +1300,13 @@ def _fused_dense_list_kernel(
 
             for row, masked, mic_z, mic_x in categories:
                 jax.lax.fori_loop(
-                    0, tcounts_ref[row // 2],
+                    0, tcounts_ref[0, row // 2],
                     make_body(row, masked, mic_z, mic_x, tile_j,
                               masked and has_jmin), 0,
                 )
             for row, cidx, width in tail_rows:
                 jax.lax.fori_loop(
-                    0, tcounts_ref[cidx],
+                    0, tcounts_ref[0, cidx],
                     make_body(row, True, True, True, width, False), 0,
                 )
             tot = f_acc[:, :]
@@ -1411,7 +1418,10 @@ def fused_dense_chunk_list(
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     pairs_per_step = n_pad * n_pad // 2
-    ins = (tcounts, tiles, r, r_lo, v, vc, a) if extended else (tcounts, tiles, r, v, a)
+    # leading dummy axis on the 1-D counts: batch-legal under vmap (see
+    # _pack_window_kernel note)
+    tcounts2 = tcounts.reshape(1, -1)
+    ins = (tcounts2, tiles, r, r_lo, v, vc, a) if extended else (tcounts2, tiles, r, v, a)
     scratch = [pltpu.VMEM((8, n_pad), r.dtype)] * 2
     if trans_acc:
         scratch += [pltpu.VMEM((n_pad, 8), r.dtype)] * 2

@@ -10,6 +10,7 @@ import pytest
 from ljmd_tpu.config import config_from_density
 from ljmd_tpu.models.engine import _pallas_rows_engine
 from ljmd_tpu.models.simulation import initialize
+from ljmd_tpu.state import MDState
 
 
 def _scan_steps(eng, carry, n):
@@ -127,6 +128,43 @@ def test_zsort_engine_matches_rows_engine():
     _, ob1 = jax.jit(ez.step)(cz)
     _, ob2 = jax.jit(er.step)(cr)
     assert float(ob1.epot) == pytest.approx(float(ob2.epot), rel=1e-11)
+
+
+def test_zsort_engine_vmap_matches_replica_loop():
+    """vmapped zsort engine (batched ensembles, round-4) == per-replica
+    loop: engine init + a fused stretch with a resort under jax.vmap must
+    be bit-compatible with running each replica separately. Pins the
+    batch-legality contract of the pack/list kernels (2-D SMEM operands:
+    on TPU, 1-D operands batch to (R, k) blocks Mosaic rejects)."""
+    from ljmd_tpu.models.engine import _zsort_engine
+
+    cfg = config_from_density(
+        num_cells=4, density=0.8, dt=0.004, dtype="float64",
+        total_steps=10, warmup_steps=20, target_total_energy=-1100.0,
+    )
+    ez = _zsort_engine(cfg, interpret=True, inner_chunk=8)
+
+    base = initialize(cfg, backend="dense")
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+
+    def one(key):
+        noise = 1e-3 * jax.random.normal(key, base.v.shape, base.v.dtype)
+        st = MDState(r=base.r, ru=base.ru, v=base.v + noise, a=base.a)
+        c, ob = ez.init(st)
+        c = ez.run_fast(c, 16)
+        _, ob2 = ez.step(c)
+        s = ez.get_state(c)
+        return s.r, s.v, ob.epot, ob2.epot
+
+    rb, vb, e0b, e1b = jax.jit(jax.vmap(one))(keys)
+    for i, k in enumerate(keys):
+        r1, v1, e01, e11 = jax.jit(one)(k)
+        np.testing.assert_allclose(np.asarray(rb[i]), np.asarray(r1),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(vb[i]), np.asarray(v1),
+                                   rtol=1e-12, atol=1e-12)
+        assert float(e0b[i]) == pytest.approx(float(e01), rel=1e-12)
+        assert float(e1b[i]) == pytest.approx(float(e11), rel=1e-12)
 
 
 def test_zsort_slab_matches_rows_engine():
