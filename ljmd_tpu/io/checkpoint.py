@@ -72,6 +72,7 @@ def save_checkpoint(
     if means is not None:
         arrays["means_count"] = np.asarray(means.count)
         arrays["means_moments"] = np.asarray(means.moments)
+        arrays["means_shift"] = np.asarray(means.shift)
     if series is not None:
         arrays["series"] = np.asarray(series, dtype=np.float64)
     if sample_idx is not None:
@@ -97,9 +98,14 @@ def load_checkpoint(path: str, dtype=None) -> Checkpoint:
         means = None
         count = 0
         if "means_moments" in z:
+            moments = jnp.asarray(z["means_moments"])
             means = MeansAccum(
                 count=jnp.asarray(z["means_count"]),
-                moments=jnp.asarray(z["means_moments"]),
+                moments=moments,
+                # pre-round-4 checkpoints carry unshifted moments: shift=0
+                # reproduces the old accumulator exactly
+                shift=(jnp.asarray(z["means_shift"]) if "means_shift" in z
+                       else jnp.zeros(moments.shape[1:], moments.dtype)),
             )
             count = int(z["means_count"])
         series = z["series"].copy() if "series" in z else None

@@ -38,34 +38,36 @@ cfg = dataclasses.replace(
 )
 
 # --- instrumented streaming run -------------------------------------------
-# ensemble_simulate_streaming fetches every chunk to host; wrap its chunk
-# boundaries by timing around the public call at two lengths (differential)
-# would recompile, so instead time the ONE production run and split
-# first-chunk (compile) vs steady chunks via a monkeypatched np.asarray?
-# Simpler and honest: time init+first chunk by running a 1-chunk config,
-# then the full run; steady rate = (T_full - T_short) over the step delta.
+# Differential over two WARM runs (each length compiled by its own cold
+# call first: the corr stage's shapes depend on n_samples, so the short
+# and full runs compile separate corr programs; the chunk/advance programs
+# are shared). Slope = steady-state chunked execution + host streaming.
 from ljmd_tpu.parallel.ensemble import ensemble_simulate_streaming
 
 CHUNK = 50  # samples per streamed chunk (50*20 = 1000 steps per chunk)
 
-short = dataclasses.replace(cfg, total_steps=2000 + cfg.warmup_steps)
+short = dataclasses.replace(cfg, total_steps=4000)
+full = cfg
+
 t0 = time.time()
 out_s = ensemble_simulate_streaming(cfg=short, n_replicas=R, chunk_samples=CHUNK)
 t1 = time.time()
-full = cfg
 out = ensemble_simulate_streaming(cfg=full, n_replicas=R, chunk_samples=CHUNK)
 t2 = time.time()
+ensemble_simulate_streaming(cfg=short, n_replicas=R, chunk_samples=CHUNK)
+t3 = time.time()
+out = ensemble_simulate_streaming(cfg=full, n_replicas=R, chunk_samples=CHUNK)
+t4 = time.time()
 
 steps_short = short.total_steps + short.warmup_steps
 steps_full = full.total_steps + full.warmup_steps
 d_steps = steps_full - steps_short
-# the two runs share every compiled program (same shapes/chunk), so the
-# slope is pure steady-state execution
-rate = R * cfg.n * d_steps / (t2 - t1 - (t1 - t0))
-per_step = (t2 - t1 - (t1 - t0)) / d_steps * 1e6
+warm_short, warm_full = t3 - t2, t4 - t3
+rate = R * cfg.n * d_steps / (warm_full - warm_short)
+per_step = (warm_full - warm_short) / d_steps * 1e6
 print(
-    f"cold (init+compile+{steps_short} steps): {t1-t0:.1f}s; "
-    f"full ({steps_full} steps): {t2-t1:.1f}s", flush=True,
+    f"cold: short {t1-t0:.1f}s, full {t2-t1:.1f}s; "
+    f"warm: short {warm_short:.1f}s, full {warm_full:.1f}s", flush=True,
 )
 print(
     f"steady: {per_step:.1f} us per batched step -> "

@@ -135,6 +135,37 @@ def test_means_accumulator_vs_numpy():
         assert float(rep.std(name)) == pytest.approx(want_std, rel=1e-9), name
 
 
+def test_means_std_f32_no_cancellation():
+    """Shifted moments keep a tiny variance on a huge mean in f32 (round-4
+    find: the raw <x^2>-<x>^2 form reported Etot std 3.6 where the true
+    series std was 0.025 on the reference-default TPU run)."""
+    rng = np.random.default_rng(1)
+    n, volume = 500, 1000.0
+    n_samp = 500
+    etot_mean, etot_std = -554.8, 0.025
+    etot = rng.normal(etot_mean, etot_std, n_samp)
+    K = rng.normal(1110.0, 18.0, n_samp)
+    U = etot - K
+
+    acc = means_init(dtype=jnp.float32)
+    for i in range(n_samp):
+        obs = StepObs(
+            epot=jnp.asarray(U[i], jnp.float32),
+            ekin=jnp.asarray(K[i], jnp.float32),
+            d_epot=jnp.asarray(0.0, jnp.float32),
+            dd_epot=jnp.asarray(0.0, jnp.float32),
+        )
+        acc = means_update(acc, obs, n, volume)
+    rep = means_finalize(acc)
+
+    want = float(np.sqrt(np.mean(etot**2) - np.mean(etot) ** 2))
+    got = float(rep.std("etot"))
+    # raw f32 moments give ~3.6 here (144x off); shifted moments are good
+    # to f32 sampling error on the deviations themselves
+    assert got == pytest.approx(want, rel=2e-3)
+    assert float(rep.mean("etot")) == pytest.approx(etot.mean(), rel=1e-6)
+
+
 def test_instantaneous_temp_press():
     obs = StepObs(
         epot=jnp.asarray(-10.0),
