@@ -1594,8 +1594,21 @@ def _cellpair_viable(cfg: SimConfig) -> bool:
     return int(_np.floor(cfg.box_length / (cfg.rc + cfg.neighbor_skin))) >= 3
 
 
-def make_engine(cfg: SimConfig, backend: str = "auto", state=None) -> Engine:
+def make_engine(cfg: SimConfig, backend: str = "auto", state=None,
+                sample_interval: int | None = None) -> Engine:
     """Build the force/integration engine for ``cfg``.
+
+    ``sample_interval`` (optional): the driver's observable cadence
+    (``cfg.output_interval``). Dense sampling slices run_fast into
+    ``interval - 1`` step stretches, and the zsort engine resorts once per
+    inner chunk — when ``interval - 1`` lands just past the default
+    inner_chunk (16), every sample cycle pays TWO resorts (16 + tail).
+    Aligning inner_chunk to ``interval - 1`` (measured-safe band 9..24,
+    exp_r4_retune: ck 20/24 cost only ~1% continuous) makes it one resort
+    per cycle AND shrinks the travel-bound skin to the actual stretch
+    length. Measured at config-4 scale (R=64 x N=864, interval=20,
+    exp_ens_attrib2 2026-08-19): the 16+3 split cost ~37 us/bstep of the
+    ~548 us/bstep sampled floor.
 
     ``state`` (optional MDState): a representative configuration — e.g. the
     post-warmup state a production driver already holds. When the routing
@@ -1629,12 +1642,19 @@ def make_engine(cfg: SimConfig, backend: str = "auto", state=None) -> Engine:
             c = dataclasses.replace(c, neighbor_capacity=cap)
         return _cellpair_engine(c)
 
+    # Sampling-aligned inner chunk (see docstring). Only the measured-safe
+    # ck band; outside it the default 16 stands (interval-1 <= 16 is
+    # already a single remainder chunk per cycle, > 24 amortizes fine).
+    zs_kw = {}
+    if sample_interval is not None and 9 <= sample_interval - 1 <= 24:
+        zs_kw["inner_chunk"] = sample_interval - 1
+
     if backend == "neighbor":
         return _neighbor_engine(cfg)
     if backend == "pallas":
         return _pallas_rows_engine(cfg)
     if backend == "zsort":
-        return _zsort_engine(cfg)
+        return _zsort_engine(cfg, **zs_kw)
     if backend == "cellpair":
         return _cellpair_tuned(cfg)
     if backend == "auto":
@@ -1659,14 +1679,14 @@ def make_engine(cfg: SimConfig, backend: str = "auto", state=None) -> Engine:
                 # kernel's extended two-float mode (round-3) replaced the
                 # old fallback to the per-step rows sweep.
                 try:
-                    return _zsort_engine(cfg)
+                    return _zsort_engine(cfg, **zs_kw)
                 except ValueError:
                     pass
             if cfg.n >= 8192 and _cellpair_viable(cfg):
                 return _cellpair_tuned(cfg)
             if cfg.box_length > 4.0 * cfg.rc:
                 try:
-                    return _zsort_engine(cfg)
+                    return _zsort_engine(cfg, **zs_kw)
                 except ValueError:
                     pass
             return _pallas_rows_engine(cfg)

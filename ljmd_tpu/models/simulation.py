@@ -245,7 +245,8 @@ def run_production(
     """
     # State-aware pencil capacity: the post-warmup state sizes the slot
     # layout (make_engine docstring) — lattice-safe padding is for init.
-    engine = engine or make_engine(cfg, backend, state=state)
+    engine = engine or make_engine(cfg, backend, state=state,
+                                   sample_interval=cfg.output_interval)
     prologue, n_samples, epilogue = _cadence(cfg)
     if n_samples == 0:
         raise ValueError(

@@ -79,7 +79,8 @@ def run_production_streaming(
     # State-aware pencil capacity (make_engine docstring). Deterministic
     # across resume: the caller re-passes the same post-warmup state, so
     # the census — and hence the slot layout — is reproduced exactly.
-    engine = engine or make_engine(cfg, backend, state=state)
+    engine = engine or make_engine(cfg, backend, state=state,
+                                   sample_interval=cfg.output_interval)
     prologue, n_samples, epilogue = _cadence(cfg)
     if n_samples == 0:
         raise ValueError("no samples would be taken")

@@ -225,7 +225,7 @@ def ensemble_simulate_streaming(
         key = jax.random.PRNGKey(cfg.seed)
     keys = jax.random.split(key, r)
 
-    engine = make_engine(cfg, backend)
+    engine = make_engine(cfg, backend, sample_interval=cfg.output_interval)
     prologue, n_samples, epilogue = _cadence(cfg)
     if n_samples == 0:
         raise ValueError("no samples would be taken")
@@ -274,17 +274,19 @@ def ensemble_simulate_streaming(
 
     report = jax.vmap(lambda a: means_finalize(a))(acc)
 
-    # Per-replica correlation curves, one replica on device at a time.
+    # Per-replica correlation curves, batched over replicas in ONE vmapped
+    # program: the host loop of r jit calls cost ~160 us/bstep of the
+    # config-4 steady rate (exp_ens_attrib2, 2026-08-19 — the driver's
+    # dominant non-sweep term), and the full (R, 5, n_samples) f32 stack
+    # is only ~6 MB at config-4 scale, far below any HBM concern.
     max_lag = cfg.corr_max_lag
-    corr_list, corr_norm_list = [], []
     if max_lag >= 1:
-        corr_one = jax.jit(lambda s: autocorr_all(s, max_lag, centered=True))
-        for i in range(r):
-            c, cn = corr_one(jnp.asarray(series_host[i], dtype))
-            corr_list.append(np.asarray(c))
-            corr_norm_list.append(np.asarray(cn))
-        corr = jnp.asarray(np.stack(corr_list))
-        corr_norm = jnp.asarray(np.stack(corr_norm_list))
+        corr_fn = jax.jit(
+            jax.vmap(lambda s: autocorr_all(s, max_lag, centered=True))
+        )
+        c, cn = corr_fn(jnp.asarray(series_host, dtype))
+        corr = jnp.asarray(np.asarray(c))
+        corr_norm = jnp.asarray(np.asarray(cn))
     else:
         corr = jnp.zeros((r, 5, 1), dtype)
         corr_norm = jnp.zeros((r, 5, 1), dtype)
