@@ -1599,16 +1599,18 @@ def make_engine(cfg: SimConfig, backend: str = "auto", state=None,
     """Build the force/integration engine for ``cfg``.
 
     ``sample_interval`` (optional): the driver's observable cadence
-    (``cfg.output_interval``). Dense sampling slices run_fast into
-    ``interval - 1`` step stretches, and the zsort engine resorts once per
-    inner chunk — when ``interval - 1`` lands just past the default
-    inner_chunk (16), every sample cycle pays TWO resorts (16 + tail).
-    Aligning inner_chunk to ``interval - 1`` (measured-safe band 9..24,
-    exp_r4_retune: ck 20/24 cost only ~1% continuous) makes it one resort
-    per cycle AND shrinks the travel-bound skin to the actual stretch
-    length. Measured at config-4 scale (R=64 x N=864, interval=20,
-    exp_ens_attrib2 2026-08-19): the 16+3 split cost ~37 us/bstep of the
-    ~548 us/bstep sampled floor.
+    (``cfg.output_interval``). Dense sampling runs ``interval - 1`` fused
+    steps plus one observable step per cycle, and the zsort engine resorts
+    once per inner chunk — when ``interval - 1`` lands just past the
+    default inner_chunk (16), every sample cycle pays TWO resorts
+    (16 + tail). Aligning inner_chunk to the FULL ``interval``
+    (measured-safe ck band up to 24, exp_r4_retune: ck 20/24 cost only
+    ~1% continuous) makes it one resort per cycle, with the travel-bound
+    skin covering all ``interval`` steps between resorts (fused stretch +
+    the driver's obs step — the flag-window race rule). Measured at
+    config-4 scale (R=64 x N=864, interval=20, exp_ens_attrib2
+    2026-08-19): the 16+3 split cost ~37 us/bstep of the ~548 us/bstep
+    sampled floor.
 
     ``state`` (optional MDState): a representative configuration — e.g. the
     post-warmup state a production driver already holds. When the routing
@@ -1642,12 +1644,22 @@ def make_engine(cfg: SimConfig, backend: str = "auto", state=None,
             c = dataclasses.replace(c, neighbor_capacity=cap)
         return _cellpair_engine(c)
 
-    # Sampling-aligned inner chunk (see docstring). Only the measured-safe
-    # ck band; outside it the default 16 stands (interval-1 <= 16 is
-    # already a single remainder chunk per cycle, > 24 amortizes fine).
+    # Sampling-aligned inner chunk (see docstring). ck = the FULL interval,
+    # not interval-1: each sample cycle runs interval-1 fused steps PLUS
+    # the driver's observable step before the next resort, and the
+    # travel-bound skin must cover every step since the last resort (the
+    # flag-window race rule: gap >= 1.15x the between-resort travel).
+    # run_fast(interval-1) is then a single remainder chunk. Only the
+    # measured-safe ck band; outside it the default 16 stands
+    # (interval <= 17 is already a single remainder chunk per cycle,
+    # > 24 amortizes fine).
+    # (For interval = k*ck + 1 outside this band — e.g. 33 at ck=16 — the
+    # last chunk's resort covers ck+1 steps on a ck-sized bound, a ~10%
+    # thinner margin than the race rule asks; the engines' sticky
+    # 'invalid' diagnostic detects any actual violation, never silent.)
     zs_kw = {}
-    if sample_interval is not None and 9 <= sample_interval - 1 <= 24:
-        zs_kw["inner_chunk"] = sample_interval - 1
+    if sample_interval is not None and 17 <= sample_interval <= 24:
+        zs_kw["inner_chunk"] = sample_interval
 
     if backend == "neighbor":
         return _neighbor_engine(cfg)
