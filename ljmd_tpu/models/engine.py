@@ -43,7 +43,13 @@ class Engine(NamedTuple):
     n_steps observable-free steps in fused multi-step kernels — removing the
     per-scan-iteration launch floor (~15-20us/step on this runtime). Its
     trajectory is numerically equivalent to n_steps x step_fast but NOT
-    bit-identical (wrap timing and reduction order differ)."""
+    bit-identical (wrap timing and reduction order differ).
+    ``run_sample(carry, n_steps)`` (n_steps static), when not None, advances
+    n_steps and returns (carry, StepObs of the FINAL step) — the fused
+    equivalent of run_fast(n_steps-1) + step, with the observable partials
+    accumulated by the final chunk step's own sweep instead of a separate
+    per-step observable program (obs values are sum-order different from
+    ``step``'s, trajectory equivalent to run_fast semantics)."""
 
     init: Callable[[MDState], tuple[Any, StepObs]]
     step: Callable[[Any], tuple[Any, StepObs]]
@@ -51,6 +57,7 @@ class Engine(NamedTuple):
     diagnostics: Callable[[Any], dict]
     step_fast: Callable[[Any], tuple[Any, StepObs]] = None
     run_fast: Callable[[Any, int], Any] = None
+    run_sample: Callable[[Any, int], tuple[Any, StepObs]] = None
 
 
 def _effective_dtype(cfg: SimConfig) -> jnp.dtype:
@@ -840,32 +847,37 @@ def _zsort_engine(
         c = lax.cond(fire, do, lambda c: c, c)
         return dataclasses.replace(c, invalid=invalid)
 
-    def _chunk(c: ZSortCarry, k: int) -> ZSortCarry:
+    def _chunk(c: ZSortCarry, k: int, obs: bool = False):
         # run_fast exists only when fused_viable, so both modes use the
         # active-tile LIST kernel (the flags kernel would be a compile bomb
         # at the same scale the list kernel's SMEM would overflow).
         c = _maybe_resort(c)
         if extended:
-            r_end, rlo_end, v, vcc, a = fused_dense_chunk_list(
+            out = fused_dense_chunk_list(
                 c.r, c.v, c.a, c.tiles, c.tcounts, n, L, cfg.rc_square, dt, k,
                 tile_i=tile_i, tile_j=tile_j, interpret=interpret,
                 r_lo=c.rlo, vc=c.vc, j_granule=tile_i,
-                mxu_reduce=mxu_reduce, trans_acc=trans_acc,
+                mxu_reduce=mxu_reduce, trans_acc=trans_acc, obs_last=obs,
             )
+            r_end, rlo_end, v, vcc, a = out[:5]
             ru = c.ru + ((r_end - c.r) + (rlo_end - c.rlo))
             r_w, rlo_w = wrap_positions_ext(r_end, rlo_end, L)
-            return dataclasses.replace(
+            c2 = dataclasses.replace(
                 c, r=r_w, ru=ru, v=v, a=a, rlo=rlo_w, vc=vcc
             )
-        r_end, v, a = fused_dense_chunk_list(
+            return (c2, out[5]) if obs else c2
+        out = fused_dense_chunk_list(
             c.r, c.v, c.a, c.tiles, c.tcounts, n, L, cfg.rc_square, dt, k,
             tile_i=tile_i, tile_j=tile_j, interpret=interpret,
             j_granule=tile_i, mxu_reduce=mxu_reduce, trans_acc=trans_acc,
+            obs_last=obs,
         )
+        r_end, v, a = out[:3]
         ru = c.ru + (r_end - c.r)
-        return dataclasses.replace(
+        c2 = dataclasses.replace(
             c, r=wrap_positions(r_end, L), ru=ru, v=v, a=a
         )
+        return (c2, out[3]) if obs else c2
 
     def run_fast(c: ZSortCarry, n_steps: int) -> ZSortCarry:
         full, rem = divmod(n_steps, inner_chunk)
@@ -877,6 +889,26 @@ def _zsort_engine(
         if rem:
             c = _chunk(c, rem)
         return c
+
+    def run_sample(c: ZSortCarry, n_steps: int):
+        """run_fast(n_steps) + final-step observables in ONE fused path:
+        the last chunk runs with obs_last=True, so the sampled production
+        cycle needs no separate observable sweep program (the per-step
+        grid sweep cost ~9.9 us/replica/sample at config-4 scale,
+        scripts/exp_ens_attrib2.py). Same trajectory semantics as
+        run_fast; obs match ``step``'s up to summation order."""
+        full, rem = divmod(n_steps, inner_chunk)
+        if rem == 0:
+            full, rem = full - 1, inner_chunk
+        if full > 0:
+            c, _ = lax.scan(
+                lambda cc, _: (_chunk(cc, inner_chunk), None),
+                c, None, length=full,
+            )
+        c, obs8 = _chunk(c, rem, obs=True)
+        v_eff = c.v + c.vc if extended else c.v
+        ekin = 0.5 * jnp.sum(v_eff * v_eff)
+        return c, obs_from(obs8, ekin)
 
     def get_state(c: ZSortCarry) -> MDState:
         idx = jnp.where(c.ids >= 0, c.ids, n)
@@ -896,6 +928,7 @@ def _zsort_engine(
         diagnostics=lambda c: {"zsort_invalid": c.invalid},
         step_fast=lambda c: _step(c, False),
         run_fast=run_fast if fused_viable else None,
+        run_sample=run_sample if fused_viable else None,
     )
 
 

@@ -135,7 +135,7 @@ def _cadence(cfg: SimConfig):
 # Core scans
 # ----------------------------------------------------------------------
 def _advance(carry, step_fn, n_steps: int, dtype, fast_fn=None, want_obs=True,
-             run_fast=None):
+             run_fast=None, run_sample=None):
     """Advance n_steps (static), returning the final carry and the
     observables of the LAST step (carried, not materialized per step).
 
@@ -144,10 +144,13 @@ def _advance(carry, step_fn, n_steps: int, dtype, fast_fn=None, want_obs=True,
     sampling step, md_simulation_program.f90:361); pass want_obs=False for
     fully-unsampled stretches (prologue/epilogue/warmup). When the engine
     provides ``run_fast``, the un-sampled stretch runs in fused multi-step
-    kernels instead of a per-step scan."""
+    kernels instead of a per-step scan; ``run_sample`` fuses the final
+    observable step into the last chunk too (no separate obs program)."""
     dummy = StepObs(*(jnp.zeros((), dtype),) * 4)
     if n_steps == 0:
         return carry, dummy
+    if want_obs and run_sample is not None:
+        return run_sample(carry, n_steps)
     fast = fast_fn or step_fn
 
     def fast_body(c, _):
@@ -270,7 +273,9 @@ def run_production(
     def sample_body(carry, _):
         ec, acc = carry
         ec, ob = _advance(
-            ec, engine.step, cfg.output_interval, dtype, fast_fn=engine.step_fast, run_fast=engine.run_fast
+            ec, engine.step, cfg.output_interval, dtype,
+            fast_fn=engine.step_fast, run_fast=engine.run_fast,
+            run_sample=engine.run_sample,
         )
         acc = means_update(acc, ob, cfg.n, cfg.volume)
         temp, press = instantaneous_temp_press(ob, cfg.n, cfg.volume)

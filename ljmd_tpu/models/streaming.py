@@ -111,6 +111,7 @@ def run_production_streaming(
             ec_, ob = _advance(
                 ec_, engine.step, cfg.output_interval, dtype,
                 fast_fn=engine.step_fast, run_fast=engine.run_fast,
+                run_sample=engine.run_sample,
             )
             acc_ = means_update(acc_, ob, cfg.n, cfg.volume)
             temp, press = instantaneous_temp_press(ob, cfg.n, cfg.volume)

@@ -1039,6 +1039,7 @@ def _fused_dense_list_kernel(
     mxu_reduce: bool = False,
     n_tails: int = 0,
     trans_acc: bool = False,
+    obs_last: bool = False,
 ):
     jg = tile_j if j_granule is None else j_granule
     has_jmin = j_granule is not None
@@ -1046,12 +1047,20 @@ def _fused_dense_list_kernel(
     n_state = 5 if extended else 3
     ins = args[:n_state]
     outs = args[n_state:2 * n_state]
-    f_acc = args[2 * n_state]
-    f_acc2 = args[2 * n_state + 1]
+    # obs_last: one extra (8, n_pad) output after the state outs — the
+    # FINAL step's sweep also accumulates the per-particle e/du/ddu
+    # partials into its rows 3..5 (the per-step sweep row contract,
+    # pallas_lj._lj_tri_kernel), so a sampled cycle needs no separate
+    # observable sweep. Rows 0..2 double as the second obs accumulator
+    # of the dual-RMW-chain scheme (folded + zeroed at step end).
+    obs_out = args[2 * n_state] if obs_last else None
+    sc = args[2 * n_state + (1 if obs_last else 0):]
+    f_acc = sc[0]
+    f_acc2 = sc[1]
     # Transposed i-side accumulators (see fused_dense_chunk_list doc):
     # (n_pad, 8) scratches, components in lanes 0..2.
-    fT_acc = args[2 * n_state + 2] if trans_acc else None
-    fT_acc2 = args[2 * n_state + 3] if trans_acc else None
+    fT_acc = sc[2] if trans_acc else None
+    fT_acc2 = sc[3] if trans_acc else None
     if extended:
         (r_out, rlo_out, v_out, vc_out, a_out) = outs
     else:
@@ -1085,7 +1094,7 @@ def _fused_dense_list_kernel(
         c_ref[:, :] = jnp.where(big_x, (x - t) + y, (y - t) + x)
         x_ref[:, :] = t
 
-    def step_body(_s, carry):
+    def step_body(_s, carry, want_obs=False):
         if extended:
             delta = (v_out[:, :] + vc_out[:, :]) * dt + a_out[:, :] * half_dt_sq
             _comp_add(r_out, rlo_out, delta)
@@ -1095,13 +1104,15 @@ def _fused_dense_list_kernel(
             v_out[:, :] = v_out[:, :] + a_out[:, :] * half_dt
         f_acc[:, :] = jnp.zeros_like(f_acc)
         f_acc2[:, :] = jnp.zeros_like(f_acc2)
+        if want_obs:
+            obs_out[:, :] = jnp.zeros_like(obs_out)
         if trans_acc:
             zcol = jnp.zeros((fT_acc.shape[0], 3), fT_acc.dtype)
             fT_acc[:, 0:3] = zcol
             fT_acc2[:, 0:3] = zcol
 
         def visit(row, t, masked, fa, faT=None, mic_z=True, mic_x=True,
-                  width=tile_j, use_jmin=False):
+                  width=tile_j, use_jmin=False, orow=None):
             """One (i,j) tile visit accumulating into ``fa``. ``mic_z=False``
             / ``mic_x=False`` skip that axis's minimum-image round() — valid
             only for visit categories whose covered blocks all lack the
@@ -1155,9 +1166,20 @@ def _fused_dense_list_kernel(
                     # already covered by an earlier visit of this i-row
                     # (jmin == 0 for ordinary masked visits -> no-op).
                     mask = mask & (jrow[:, :width] >= tiles_ref[8, t] * jg - j_lo)
-            coef, _du, _e, _ddu = lj_pair_terms(
-                r2, mask, approx_reciprocal, want_observables=False
+            want = orow is not None
+            coef, du_p, e_p, ddu_p = lj_pair_terms(
+                r2, mask, approx_reciprocal, want_observables=want
             )
+            if want:
+                # Pair-once e/du/ddu partials, i-side (the tri-sweep row
+                # contract: row+0 = e, row+1 = du, row+2 = ddu). ``orow``
+                # selects the accumulator bank inside obs_out (3 = rows
+                # 3..5, 0 = rows 0..2): visits alternate banks with the
+                # force dual-accumulator scheme so the obs RMW chain does
+                # not serialize the final sweep; banks fold at step end.
+                obs_out[orow + 0, isl] += jnp.sum(e_p, axis=1)
+                obs_out[orow + 1, isl] += jnp.sum(du_p, axis=1)
+                obs_out[orow + 2, isl] += jnp.sum(ddu_p, axis=1)
             fx = coef * dx
             fy = coef * dy
             fz = coef * dz
@@ -1259,9 +1281,11 @@ def _fused_dense_list_kernel(
             def make_pair_body(row, masked, mic_z, mic_x, width, use_jmin):
                 def body(t, c2):
                     visit(row, 2 * t, masked, f_acc, fT_acc, mic_z, mic_x,
-                          width=width, use_jmin=use_jmin)
+                          width=width, use_jmin=use_jmin,
+                          orow=3 if want_obs else None)
                     visit(row, 2 * t + 1, masked, f_acc2, fT_acc2, mic_z,
-                          mic_x, width=width, use_jmin=use_jmin)
+                          mic_x, width=width, use_jmin=use_jmin,
+                          orow=0 if want_obs else None)
                     return c2
 
                 return body
@@ -1277,7 +1301,8 @@ def _fused_dense_list_kernel(
                 @pl.when(cnt % 2 == 1)
                 def _odd_tail():
                     visit(row, cnt - 1, masked, f_acc, fT_acc, mic_z, mic_x,
-                          width=width, use_jmin=use_jmin)
+                          width=width, use_jmin=use_jmin,
+                          orow=3 if want_obs else None)
 
             for row, masked, mic_z, mic_x in categories:
                 run_dual(row, row // 2, masked, mic_z, mic_x, tile_j,
@@ -1293,7 +1318,8 @@ def _fused_dense_list_kernel(
             def make_body(row, masked, mic_z, mic_x, width, use_jmin):
                 def body(t, c2):
                     visit(row, t, masked, f_acc, fT_acc, mic_z, mic_x,
-                          width=width, use_jmin=use_jmin)
+                          width=width, use_jmin=use_jmin,
+                          orow=3 if want_obs else None)
                     return c2
 
                 return body
@@ -1313,13 +1339,26 @@ def _fused_dense_list_kernel(
             if trans_acc:
                 tot = tot + fT_acc[:, :].T
             a_out[:, :] = 24.0 * tot
+        if want_obs:
+            # Fold the second obs bank (rows 0..2) into the contract rows
+            # 3..5, then zero the scratch bank so obs_out leaves the kernel
+            # in the per-step sweep layout (rows 0..2 unused).
+            obs_out[3:6, :] = obs_out[3:6, :] + obs_out[0:3, :]
+            obs_out[0:3, :] = jnp.zeros_like(obs_out[0:3, :])
         if extended:
             _comp_add(v_out, vc_out, a_out[:, :] * half_dt)
         else:
             v_out[:, :] = v_out[:, :] + a_out[:, :] * half_dt
         return carry
 
-    jax.lax.fori_loop(0, n_steps, step_body, 0)
+    if obs_last:
+        # The final step is statically expanded with the obs-accumulating
+        # visit bodies; the first n_steps-1 run the plain force-only body.
+        if n_steps > 1:
+            jax.lax.fori_loop(0, n_steps - 1, step_body, 0)
+        step_body(0, 0, want_obs=True)
+    else:
+        jax.lax.fori_loop(0, n_steps, step_body, 0)
 
 
 @functools.partial(
@@ -1338,6 +1377,7 @@ def _fused_dense_list_kernel(
         "j_granule",
         "mxu_reduce",
         "trans_acc",
+        "obs_last",
     ),
 )
 def fused_dense_chunk_list(
@@ -1361,6 +1401,7 @@ def fused_dense_chunk_list(
     j_granule: int | None = None,
     mxu_reduce: bool = False,
     trans_acc: bool = False,
+    obs_last: bool = False,
 ) -> tuple[jax.Array, ...]:
     """``fused_dense_chunk_flags`` with the active tiles given as a compact
     LIST (from ``build_tile_lists``) instead of a per-tile flag sweep —
@@ -1385,7 +1426,16 @@ def fused_dense_chunk_list(
     (physical lane padding), so it is for small/mid n_pad only; summation
     ORDER differs from the lane-layout path (i and j contributions fold
     at step end instead of interleaving), so results are equivalent but
-    not bit-identical."""
+    not bit-identical.
+
+    ``obs_last``: the FINAL step's sweep also accumulates the pair-once
+    per-particle e/du/ddu partials (rows 3..5 of one extra (8, n_pad)
+    output appended to the return tuple, the per-step tri-sweep row
+    contract) — a sampled production cycle then needs no separate
+    observable sweep program (measured +32 us/bstep at config-4 scale,
+    scripts/exp_ens_attrib2.py). Force rows and the trajectory are
+    bit-identical to obs_last=False (the obs accumulation adds
+    instructions but reuses the same force arithmetic)."""
     if n_steps > MAX_CHUNK_STEPS:
         raise ValueError(f"n_steps={n_steps} exceeds MAX_CHUNK_STEPS={MAX_CHUNK_STEPS}")
     if trans_acc and mxu_reduce:
@@ -1412,9 +1462,11 @@ def fused_dense_chunk_list(
         mxu_reduce=mxu_reduce,
         n_tails=n_tails,
         trans_acc=trans_acc,
+        obs_last=obs_last,
     )
     n_state = 5 if extended else 3
-    out_shape = [jax.ShapeDtypeStruct((8, n_pad), r.dtype)] * n_state
+    n_out = n_state + (1 if obs_last else 0)
+    out_shape = [jax.ShapeDtypeStruct((8, n_pad), r.dtype)] * n_out
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     pairs_per_step = n_pad * n_pad // 2
@@ -1429,7 +1481,7 @@ def fused_dense_chunk_list(
         pl.pallas_call(
             kernel,
             in_specs=[smem, smem] + [vmem] * n_state,
-            out_specs=[vmem] * n_state,
+            out_specs=[vmem] * n_out,
             out_shape=out_shape,
             scratch_shapes=scratch,
             interpret=interpret,

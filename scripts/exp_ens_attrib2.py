@@ -43,7 +43,9 @@ cfg = config_from_density(num_cells=6, density=0.8442, dt=0.005,
 dtype = _effective_dtype(cfg)
 st = melt(cfg)
 N = cfg.n
-eng = _zsort_engine(cfg, extended=False)
+# The shipped sampled-run configuration (make_engine sample_interval
+# alignment): one resort per 20-step cycle.
+eng = _zsort_engine(cfg, extended=False, inner_chunk=INTERVAL)
 
 
 def rep_states(r):
@@ -130,13 +132,30 @@ def diff(label, mk, args, ks=(10, 60), reps=5, fetch_block=False):
     return s
 
 
+def mk_sampled(k):
+    """The round-4 fused path: run_sample (obs accumulated by the final
+    chunk step's own sweep, no separate obs program)."""
+    @jax.jit
+    def run(ec):
+        def one(ec):
+            def body(c, _):
+                c2, ob = eng.run_sample(c, INTERVAL)
+                return c2, ob.epot
+            c, e = lax.scan(body, ec, None, length=k)
+            return c, e
+        return jax.vmap(one)(ec)
+    return run
+
+
 f = diff("floor", mk_floor, (carry0,))
 o = diff("obsstep", mk_obsstep, (carry0,))
 u = diff("full", mk_full, (carry0, acc0))
 h = diff("fetch", lambda k: mk_full(k), (carry0, acc0), fetch_block=True)
+s_ = diff("run_sample", mk_sampled, (carry0,))
 
 print("\n--- per sample cycle (us, R=64 batched) ---", flush=True)
 print(f"floor(20 fast steps)      {f*1e6:9.1f}", flush=True)
 print(f"+ obs step (19+1 split)   {(o-f)*1e6:9.1f}", flush=True)
 print(f"+ means/series            {(u-o)*1e6:9.1f}", flush=True)
 print(f"+ host block fetch        {(h-u)*1e6:9.1f}", flush=True)
+print(f"run_sample vs obsstep     {(s_-o)*1e6:9.1f}", flush=True)

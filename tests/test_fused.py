@@ -438,3 +438,42 @@ def test_zsort_rejects_unknown_trigger():
     )
     with pytest.raises(ValueError, match="trigger"):
         _zsort_engine(cfg, interpret=True, trigger="sometimes")
+
+
+@pytest.mark.parametrize(
+    "extended", [False, pytest.param(True, marks=pytest.mark.slow)]
+)
+def test_run_sample_matches_run_fast_plus_step(extended):
+    """run_sample(n) == run_fast(n-1) + step: same trajectory (to rounding;
+    the final Verlet runs in-kernel instead of the per-step jnp path) and
+    the fused final-step observables match the per-step grid sweep's
+    (f64 interpret: summation order is the only difference)."""
+    from ljmd_tpu.models.engine import _zsort_engine
+
+    cfg = config_from_density(
+        num_cells=6, density=0.8, dt=0.004, dtype="float64",
+        total_steps=10, warmup_steps=50, target_total_energy=-4000.0,
+    )
+    state = initialize(cfg, backend="dense")
+    eng = _zsort_engine(cfg, interpret=True, inner_chunk=8,
+                        extended=extended)
+
+    c0, _ = eng.init(state)
+    for n_steps in (20, 16):  # split 8+8+4 / exact-multiple rem handling
+        c_ref, _ = jax.jit(lambda c: eng.run_fast(c, n_steps - 1))(c0), None
+        c_ref, ob_ref = jax.jit(eng.step)(c_ref)
+        c_new, ob_new = jax.jit(
+            lambda c: eng.run_sample(c, n_steps), static_argnums=()
+        )(c0)
+
+        s1, s2 = eng.get_state(c_ref), eng.get_state(c_new)
+        for field in ("r", "ru", "v", "a"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(s2, field)), np.asarray(getattr(s1, field)),
+                rtol=1e-10, atol=1e-10, err_msg=field,
+            )
+        for ob_field in ("epot", "ekin", "d_epot", "dd_epot"):
+            assert float(getattr(ob_new, ob_field)) == pytest.approx(
+                float(getattr(ob_ref, ob_field)), rel=1e-10
+            ), ob_field
+        assert not bool(jax.device_get(c_new.invalid))
