@@ -125,10 +125,15 @@ def _ring_partials(
     if use_pallas:
         from ljmd_tpu.ops.pallas_lj import _round_up, pallas_pair_sweep_rect
 
-        tile_i = 128 if ni % 128 == 0 else 8
+        # tile_i must be a 128 lane multiple on real TPU (Mosaic rejects a
+        # (8, 8) block: last dim not divisible by 128 — caught by the
+        # mesh=1 hardware run 2026-08-19; interpret-mode CPU tests cannot
+        # see it). The kernel masks li < n_i, so 128-padding is exact for
+        # any local count.
+        tile_i = 128
         nj_pad = _round_up(ni, 128)
         tile_j = min(1024, nj_pad)
-        ni_pad = _round_up(ni, max(tile_i, 128))
+        ni_pad = _round_up(ni, 128)
         pos_i = jnp.zeros((8, ni_pad), dtype).at[0:3, :ni].set(r_local.T)
         pos_j = jnp.zeros((8, nj_pad), dtype).at[0:3, :ni].set(r_local.T)
 
