@@ -187,25 +187,16 @@ def ensemble_aggregate(
     )
 
 
-def ensemble_simulate_streaming(
-    cfg: SimConfig,
-    n_replicas: Optional[int] = None,
-    key: Optional[jax.Array] = None,
-    backend: str = "auto",
-    chunk_samples: int = 32,
-):
-    """Ensemble run with HOST-streamed per-replica series (VERDICT round-1
-    item 8): the sampled (R, 5, k) series blocks are fetched to host after
-    every ``chunk_samples`` samples, so a config-4-at-scale run (many
-    replicas x reference-length sampling) never materializes the full
-    (R, 5, n_samples) series — only the means accumulators and the engine
-    carries stay on device. Correlation curves are computed per replica from
-    the host series (one replica resident at a time).
-
-    Returns an EnsembleResult numerically identical to ``ensemble_simulate``
-    (same per-sample op sequence; scan chunking does not change the math).
-    """
-    import numpy as np
+@functools.lru_cache(maxsize=8)
+def _streaming_programs(cfg: SimConfig, backend: str):
+    """Jitted (init_all, chunk, corr_fn) for the streaming ensemble, cached
+    on (config, backend) like ``_batched_ensemble_fn``: fresh ``jax.jit``
+    wrappers per call would re-TRACE the vmapped scan programs every
+    invocation — XLA compilation is content-cached process-wide, but
+    tracing the R-batched 20-step sample cycle costs ~15-25 s per call on
+    this 1-core host (measured 2026-08-19, exp_ens_scale warm pairs: a
+    6000-step warm run sometimes took LONGER than a 22000-step one purely
+    on trace jitter). The cache makes repeat streaming calls trace-free."""
     from functools import partial
 
     from jax import lax
@@ -215,20 +206,12 @@ def ensemble_simulate_streaming(
     from ljmd_tpu.stats.correlations import autocorr_all
     from ljmd_tpu.stats.moments import (
         instantaneous_temp_press,
-        means_finalize,
         means_init,
         means_update,
     )
 
-    r = cfg.n_runs if n_replicas is None else n_replicas
-    if key is None:
-        key = jax.random.PRNGKey(cfg.seed)
-    keys = jax.random.split(key, r)
-
     engine = make_engine(cfg, backend, sample_interval=cfg.output_interval)
-    prologue, n_samples, epilogue = _cadence(cfg)
-    if n_samples == 0:
-        raise ValueError("no samples would be taken")
+    prologue, _n_samples, _ = _cadence(cfg)
     dtype = _effective_dtype(cfg)
 
     @jax.jit
@@ -263,6 +246,48 @@ def ensemble_simulate_streaming(
             return ec, acc, s.T  # (5, k)
         return jax.vmap(one)(ec, acc)
 
+    if cfg.corr_max_lag >= 1:
+        corr_fn = jax.jit(
+            jax.vmap(lambda s: autocorr_all(s, cfg.corr_max_lag, centered=True))
+        )
+    else:
+        corr_fn = None
+    return init_all, chunk, corr_fn, dtype
+
+
+def ensemble_simulate_streaming(
+    cfg: SimConfig,
+    n_replicas: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    backend: str = "auto",
+    chunk_samples: int = 32,
+):
+    """Ensemble run with HOST-streamed per-replica series (VERDICT round-1
+    item 8): the sampled (R, 5, k) series blocks are fetched to host after
+    every ``chunk_samples`` samples, so a config-4-at-scale run (many
+    replicas x reference-length sampling) never materializes the full
+    (R, 5, n_samples) series — only the means accumulators and the engine
+    carries stay on device. Correlation curves are computed per replica from
+    the host series (one replica resident at a time).
+
+    Returns an EnsembleResult numerically identical to ``ensemble_simulate``
+    (same per-sample op sequence; scan chunking does not change the math).
+    """
+    import numpy as np
+
+    from ljmd_tpu.models.simulation import _cadence
+    from ljmd_tpu.stats.moments import means_finalize
+
+    r = cfg.n_runs if n_replicas is None else n_replicas
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    keys = jax.random.split(key, r)
+
+    _, n_samples, epilogue = _cadence(cfg)
+    if n_samples == 0:
+        raise ValueError("no samples would be taken")
+    init_all, chunk, corr_fn, dtype = _streaming_programs(cfg, backend)
+
     ec, acc = init_all(keys)
     blocks = []
     done = 0
@@ -280,11 +305,7 @@ def ensemble_simulate_streaming(
     # config-4 steady rate (exp_ens_attrib2, 2026-08-19 — the driver's
     # dominant non-sweep term), and the full (R, 5, n_samples) f32 stack
     # is only ~6 MB at config-4 scale, far below any HBM concern.
-    max_lag = cfg.corr_max_lag
-    if max_lag >= 1:
-        corr_fn = jax.jit(
-            jax.vmap(lambda s: autocorr_all(s, max_lag, centered=True))
-        )
+    if corr_fn is not None:
         c, cn = corr_fn(jnp.asarray(series_host, dtype))
         corr = jnp.asarray(np.asarray(c))
         corr_norm = jnp.asarray(np.asarray(cn))
