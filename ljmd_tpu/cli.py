@@ -243,6 +243,34 @@ def cmd_run_all(args) -> int:
     return cmd_analyze(args)
 
 
+def _enable_compile_cache(args) -> None:
+    """Persistent XLA compilation cache (on by default for every command).
+
+    The reference's defining workload is compile-dominated on TPU: the
+    500k-step default run is ~36 s wall of which < 2 s is device compute —
+    the rest is XLA/Mosaic compilation that is bit-identical across
+    invocations. Caching keys on (HLO, compiler version, platform), so
+    correctness is XLA's own contract; disable with --no-compile-cache or
+    relocate with --compile-cache DIR / LJMD_COMPILE_CACHE."""
+    if getattr(args, "no_compile_cache", False):
+        return
+    cache_dir = (
+        getattr(args, "compile_cache", None)
+        or os.environ.get("LJMD_COMPILE_CACHE")
+        or os.path.join(os.path.expanduser("~"), ".cache", "ljmd_tpu", "xla")
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Default thresholds skip sub-second compiles; an MD run is MANY
+        # small programs (init, rebin, chunk, corr) whose compiles add up.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - older jax without the flags
+        pass
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ljmd_tpu", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -251,6 +279,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--config", help="reference block-text or JSON config file")
         sp.add_argument("--backend", default="auto",
                         choices=["auto", "dense", "pallas", "zsort", "neighbor", "cellpair"])
+        sp.add_argument("--compile-cache", metavar="DIR",
+                        help="persistent XLA compilation cache directory "
+                             "(default ~/.cache/ljmd_tpu/xla, or "
+                             "LJMD_COMPILE_CACHE)")
+        sp.add_argument("--no-compile-cache", action="store_true",
+                        help="disable the persistent compilation cache")
 
     sp = sub.add_parser("init-config", help="build + warm up an initial configuration")
     common(sp)
@@ -308,6 +342,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _enable_compile_cache(args)
     return args.fn(args)
 
 

@@ -13,10 +13,18 @@ with ``pytest tests/ --slow`` or ``LJMD_SLOW=1``.
 """
 
 import os
+import tempfile
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# CLI tests go through main(), which enables the persistent XLA compile cache
+# by default; keep the suite hermetic (no writes to $HOME) while still
+# exercising that path.
+os.environ.setdefault(
+    "LJMD_COMPILE_CACHE", tempfile.mkdtemp(prefix="ljmd_test_xla_cache_")
+)
 
 import jax  # noqa: E402
 import pytest  # noqa: E402

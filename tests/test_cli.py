@@ -103,6 +103,44 @@ def test_cli_ensemble_per_run_dirs(cfg_file, tmp_path):
         assert os.path.exists(os.path.join(d, "md_final_results.txt"))
 
 
+def test_cli_compile_cache_plumbing(tmp_path, monkeypatch):
+    """--compile-cache / --no-compile-cache / LJMD_COMPILE_CACHE routing.
+
+    Measured rationale (v5e, 2026-08-19, paired back-to-back runs of the
+    reference-shaped `run-all` in the same tunnel phase): warm cache 169 s vs
+    267 s without (second pair: 83 s vs 185 s) — the workload is dominated by
+    XLA/Mosaic compiles that are bit-identical across invocations.
+    """
+    import argparse
+
+    import jax
+
+    from ljmd_tpu.cli import _enable_compile_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+
+    try:
+        cache_dir = str(tmp_path / "xla_cache")
+        args = argparse.Namespace(compile_cache=cache_dir, no_compile_cache=False)
+        _enable_compile_cache(args)
+        assert jax.config.jax_compilation_cache_dir == cache_dir
+
+        # --no-compile-cache leaves the config untouched
+        other = str(tmp_path / "other_cache")
+        args = argparse.Namespace(compile_cache=other, no_compile_cache=True)
+        _enable_compile_cache(args)
+        assert jax.config.jax_compilation_cache_dir == cache_dir
+
+        # env fallback when no flag is given
+        env_dir = str(tmp_path / "env_cache")
+        monkeypatch.setenv("LJMD_COMPILE_CACHE", env_dir)
+        args = argparse.Namespace(compile_cache=None, no_compile_cache=False)
+        _enable_compile_cache(args)
+        assert jax.config.jax_compilation_cache_dir == env_dir
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
 def test_cli_ensemble(cfg_file, tmp_path):
     out_dir = str(tmp_path / "ens")
     rc = main(["ensemble", "--config", cfg_file, "--out-dir", out_dir,
