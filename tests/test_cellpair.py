@@ -142,7 +142,7 @@ def test_cellpair_init_force_parity():
 
 
 def test_cellpair_trajectory_matches_dense():
-    cfg = big_cfg(neighbor_skin=0.2, total_steps=40)  # small skin -> several rebins
+    cfg = big_cfg(neighbor_skin=0.2, total_steps=20)  # small skin -> several rebins
     state = initialize(cfg, backend="dense")
     out_d = run_production(cfg, state, backend="dense")
     out_c = run_production(cfg, state, backend="cellpair", record_frames=True)
@@ -227,7 +227,7 @@ def test_half_shell_matches_full_sweep():
             float(getattr(ob_f, key)), rel=1e-11
         ), key
 
-    for _ in range(5):
+    for _ in range(3):
         c_f, ob_f = jax.jit(eng_full.step)(c_f)
         c_h, ob_h = jax.jit(eng_hs.step)(c_h)
     s_f = eng_full.get_state(c_f)
@@ -420,7 +420,7 @@ def test_make_engine_state_aware_capacity():
     assert ct.r.shape[1] == 9 * 128  # census capacity applied
     step_t = jax.jit(lambda c: eng_t.step_fast(c)[0])
     step_d = jax.jit(lambda c: eng_d.step_fast(c)[0])
-    for _ in range(6):
+    for _ in range(3):
         ct = step_t(ct)
         cd = step_d(cd)
     st, sd = eng_t.get_state(ct), eng_d.get_state(cd)
@@ -438,10 +438,10 @@ def test_make_engine_state_aware_capacity():
     assert co.r.shape[1] == 9 * 256
 
 
-@pytest.mark.parametrize("want_obs", [True, False])
-def test_mono_sweep_matches_grid_sweep(want_obs):
+def test_mono_sweep_matches_grid_sweep():
     """Single-program sweep == grid half-shell sweep (f64 interpret), all
-    6 output rows, on a jittered-lattice slot state with partial fills."""
+    6 output rows, on a jittered-lattice slot state with partial fills.
+    Both want_observables settings share one slot-state setup."""
     from ljmd_tpu.models.lattice import fcc_lattice
     from ljmd_tpu.ops.pallas_pencil2 import (
         build_half_shell_tables,
@@ -466,20 +466,22 @@ def test_mono_sweep_matches_grid_sweep(want_obs):
     tbl, shf = build_half_shell_tables(grid)
     tbl, shf = jnp.asarray(tbl), jnp.asarray(shf)
 
-    kw = dict(interpret=True, want_observables=want_obs,
-              approx_reciprocal=False)
-    out_g = pallas_pencil_sweep_hs(
-        r8, tbl, counts, shf, grid, 6.25, **kw) * r8[3:4]
-    out_m = pallas_pencil_sweep_mono(
-        r8, tbl, counts, shf, grid, 6.25, **kw) * r8[3:4]
-    for row in range(6):
-        scale = max(1.0, float(jnp.max(jnp.abs(out_g[row]))))
-        d = float(jnp.max(jnp.abs(out_g[row] - out_m[row])))
-        assert d < 1e-12 * scale, (row, d, scale)
-    # gate-free variant covers identical physics too
-    out_u = pallas_pencil_sweep_mono(
-        r8, tbl, counts, shf, grid, 6.25, i_gate=False, **kw) * r8[3:4]
-    assert float(jnp.max(jnp.abs(out_m - out_u))) == 0.0
+    for want_obs in (True, False):
+        kw = dict(interpret=True, want_observables=want_obs,
+                  approx_reciprocal=False)
+        out_g = pallas_pencil_sweep_hs(
+            r8, tbl, counts, shf, grid, 6.25, **kw) * r8[3:4]
+        out_m = pallas_pencil_sweep_mono(
+            r8, tbl, counts, shf, grid, 6.25, **kw) * r8[3:4]
+        for row in range(6):
+            scale = max(1.0, float(jnp.max(jnp.abs(out_g[row]))))
+            d = float(jnp.max(jnp.abs(out_g[row] - out_m[row])))
+            assert d < 1e-12 * scale, (want_obs, row, d, scale)
+        if not want_obs:
+            # gate-free variant covers identical physics too
+            out_u = pallas_pencil_sweep_mono(
+                r8, tbl, counts, shf, grid, 6.25, i_gate=False, **kw) * r8[3:4]
+            assert float(jnp.max(jnp.abs(out_m - out_u))) == 0.0
 
 
 @pytest.mark.slow
@@ -532,6 +534,6 @@ def test_ensemble_vmap_cellpair_state_capacity():
     instead of crashing on np.asarray(tracer) (regression)."""
     from ljmd_tpu.parallel.ensemble import ensemble_simulate
 
-    cfg = big_cfg(total_steps=10, warmup_steps=2, output_interval=5)
+    cfg = big_cfg(total_steps=5, warmup_steps=2, output_interval=5)
     agg = ensemble_simulate(cfg, n_replicas=2, backend="cellpair", jit=False)
     assert np.all(np.isfinite(np.asarray(agg.mean_of_means)))

@@ -70,7 +70,7 @@ def test_diverged_replica_excluded():
     import jax
 
     cfg = config_from_density(
-        num_cells=2, density=0.6, total_steps=60, output_interval=10,
+        num_cells=2, density=0.6, total_steps=20, output_interval=10,
         warmup_steps=10, dt=0.002, dtype="float64", target_total_energy=-60.0,
     )
 

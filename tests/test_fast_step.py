@@ -43,7 +43,7 @@ def test_fast_step_trajectory_identical(engine_name):
 
     state = initialize(cfg, backend="dense")
     c0, _ = eng.init(state)
-    n_steps = 25
+    n_steps = 12
     c_obs = run_steps(eng, c0, eng.step, n_steps)
     c_fast = run_steps(eng, c0, eng.step_fast, n_steps)
     s_obs = eng.get_state(c_obs)

@@ -116,8 +116,9 @@ def test_zsort_engine_matches_rows_engine():
     cr, obr = er.init(state)
     assert float(obz.epot) == pytest.approx(float(obr.epot), rel=1e-12)
 
-    cz = jax.jit(lambda c: ez.run_fast(c, 24))(cz)
-    cr = jax.jit(lambda c: er.run_fast(c, 24))(cr)
+    # 12 steps = one full inner chunk + remainder: crosses a resort boundary
+    cz = jax.jit(lambda c: ez.run_fast(c, 12))(cz)
+    cr = jax.jit(lambda c: er.run_fast(c, 12))(cr)
     sz, sr = ez.get_state(cz), er.get_state(cr)
     for field in ("r", "ru", "v", "a"):
         np.testing.assert_allclose(
@@ -145,7 +146,7 @@ def test_zsort_engine_vmap_matches_replica_loop():
     ez = _zsort_engine(cfg, interpret=True, inner_chunk=8)
 
     base = initialize(cfg, backend="dense")
-    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    keys = jax.random.split(jax.random.PRNGKey(7), 2)
 
     def one(key):
         noise = 1e-3 * jax.random.normal(key, base.v.shape, base.v.dtype)
@@ -195,8 +196,8 @@ def test_zsort_slab_matches_rows_engine():
     tc = np.asarray(cz.tcounts)
     assert tc.sum() > 0, tc
 
-    cz = jax.jit(lambda c: ez.run_fast(c, 24))(cz)
-    cr = jax.jit(lambda c: er.run_fast(c, 24))(cr)
+    cz = jax.jit(lambda c: ez.run_fast(c, 12))(cz)
+    cr = jax.jit(lambda c: er.run_fast(c, 12))(cr)
     sz, sr = ez.get_state(cz), er.get_state(cr)
     for field in ("r", "ru", "v", "a"):
         np.testing.assert_allclose(
@@ -247,7 +248,7 @@ def test_zsort_production_driver():
 
     cfg = config_from_density(
         num_cells=6, density=0.8, dt=0.003, dtype="float64",
-        total_steps=40, output_interval=10, warmup_steps=10,
+        total_steps=20, output_interval=5, warmup_steps=10,
         target_total_energy=-4000.0,
     )
     state = initialize(cfg, backend="dense")
@@ -354,8 +355,8 @@ def test_zsort_extended_matches_rows_compensated():
         c2, _o = er.step_fast(c)
         return c2, None
 
-    cr2 = jax.jit(lambda c: jax.lax.scan(body, c, None, length=24)[0])(cr)
-    cz2 = jax.jit(lambda c: ez.run_fast(c, 24))(cz)
+    cr2 = jax.jit(lambda c: jax.lax.scan(body, c, None, length=12)[0])(cr)
+    cz2 = jax.jit(lambda c: ez.run_fast(c, 12))(cz)
     sz, sr = ez.get_state(cz2), er.get_state(cr2)
     for field in ("r", "ru", "v", "a"):
         np.testing.assert_allclose(
@@ -371,7 +372,7 @@ def test_zsort_frames_particle_order():
 
     cfg = config_from_density(
         num_cells=6, density=0.8, dt=0.003, dtype="float64",
-        total_steps=20, output_interval=10, warmup_steps=0,
+        total_steps=10, output_interval=5, warmup_steps=0,
         target_total_energy=-4000.0,
     )
     state = initialize(cfg, backend="dense")
@@ -459,7 +460,9 @@ def test_run_sample_matches_run_fast_plus_step(extended):
                         extended=extended)
 
     c0, _ = eng.init(state)
-    for n_steps in (20, 16):  # split 8+8+4 / exact-multiple rem handling
+    # default tier: the 8+8+4 split (remainder handling); the slow extended
+    # variant adds the exact-multiple case (16)
+    for n_steps in (20, 16) if extended else (20,):
         c_ref, _ = jax.jit(lambda c: eng.run_fast(c, n_steps - 1))(c0), None
         c_ref, ob_ref = jax.jit(eng.step)(c_ref)
         c_new, ob_new = jax.jit(

@@ -27,7 +27,9 @@ def _liquid_state(cfg, temp, seed=0):
     return MDState(r=r, ru=r, v=v, a=jnp.zeros_like(r))
 
 
-@pytest.mark.parametrize("temp", [0.8, 1.5])
+@pytest.mark.parametrize(
+    "temp", [0.8, pytest.param(1.5, marks=pytest.mark.slow)]
+)
 def test_fused_pencil_matches_per_step(temp):
     cfg = config_from_density(
         num_cells=5, density=0.5, dt=0.005, dtype="float64", neighbor_skin=0.4
@@ -37,7 +39,7 @@ def test_fused_pencil_matches_per_step(temp):
     step1 = jax.jit(lambda c: eng.step_fast(c)[0])
     c0, _ = eng.init(_liquid_state(cfg, temp))
     # advance off the lattice so rebins can trigger inside the window
-    for _ in range(20):
+    for _ in range(12):
         c0 = step1(c0)
 
     n_steps = 17  # 2 full chunks + remainder
@@ -67,7 +69,7 @@ def test_fused_pencil_extended_matches_per_step_compensated():
     assert eng.run_fast is not None, "extended fused path must be viable"
     step1 = jax.jit(lambda c: eng.step_fast(c)[0])
     c0, _ = eng.init(_liquid_state(cfg, 1.2))
-    for _ in range(20):
+    for _ in range(12):
         c0 = step1(c0)
 
     n_steps = 17
@@ -156,12 +158,12 @@ def test_build_width_lists_exact_cover():
     from ljmd_tpu.ops.pallas_pencil2 import build_half_shell_tables
     from ljmd_tpu.ops.pallas_pencil_fused import build_width_lists
 
-    grid = PencilGrid(m_xy=4, capacity=384, box_length=12.0)
+    grid = PencilGrid(m_xy=4, capacity=256, box_length=12.0)
     tbl, shf = build_half_shell_tables(grid)
     rng = np.random.default_rng(7)
-    counts = rng.integers(0, 385, size=grid.n_pencils).astype(np.int32)
+    counts = rng.integers(0, 257, size=grid.n_pencils).astype(np.int32)
     counts[0] = 0      # empty pencil
-    counts[1] = 384    # full pencil
+    counts[1] = 256    # full pencil
     counts[2] = 128    # exact class boundary
     counts[3] = 129    # just past it
 
@@ -277,7 +279,7 @@ def test_width_lists_engine_matches_per_step(compensated):
     assert eng.run_fast is not None
     step1 = jax.jit(lambda c: eng.step_fast(c)[0])
     c0, _ = eng.init(_liquid_state(cfg, 1.2))
-    for _ in range(20):
+    for _ in range(12):
         c0 = step1(c0)
 
     n_steps = 17

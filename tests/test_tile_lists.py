@@ -364,7 +364,7 @@ def test_zsort_engine_tail_tiles_physics_invariant():
     for tails in (False, True):
         eng = _zsort_engine(cfg, interpret=True, tail_tiles=tails)
         c, _ = eng.init(st)
-        c = eng.run_fast(c, 16)
+        c = eng.run_fast(c, 8)
         s = eng.get_state(c)
         outs.append((np.asarray(s.r), np.asarray(s.v)))
     np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=0, atol=1e-12)
