@@ -267,8 +267,13 @@ def _enable_compile_cache(args) -> None:
         # small programs (init, rebin, chunk, corr) whose compiles add up.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # pragma: no cover - older jax without the flags
+    except (AttributeError, ValueError):  # pragma: no cover
+        # older jax without these config flags: cache unavailable, not an
+        # error worth failing a run over
         pass
+    except Exception as e:  # pragma: no cover
+        # a GENUINE failure (bad dir permissions, ...) must not be invisible
+        print(f"warning: persistent compile cache disabled ({e})", file=sys.stderr)
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -422,6 +422,190 @@ def pallas_pair_sweep_rect(
     )
 
 
+def _lj_rect_newton_kernel(
+    gi0_ref,    # scalar-prefetch: (1,) int32 global index offset of the i rows
+    gj0_ref,    # scalar-prefetch: (1,) int32 global index offset of the j rows
+    ilo_ref,    # scalar-prefetch: (1,) int32 first ACTIVE local i row
+    jhi_ref,    # scalar-prefetch: (1,) int32 end of the ACTIVE local j cols
+    pos_i_ref,  # (8, TI) VMEM
+    pos_j_ref,  # (8, TJ) VMEM
+    out_i_ref,  # (8, TI) VMEM accumulator (forces + e/du/ddu rows)
+    out_j_ref,  # (1, 8, TJ): j-side reaction partials for THIS (i, j) program
+    *,
+    box_length: float,
+    inv_box_length: float,
+    rc_square: float,
+    n_i: int,
+    n_j: int,
+    tile_i: int,
+    tile_j: int,
+    approx_reciprocal: bool = False,
+    want_observables: bool = True,
+):
+    """Pair-ONCE rectangular sweep with Newton's-3rd-law j reactions: each
+    (i, j) pair in the active range [i_lo, n_i) x [0, j_hi) is evaluated once;
+    i-side partials accumulate like the rect kernel, j-side reaction forces
+    go to a per-i-tile buffer reduced outside (the tri kernel's scheme).
+
+    The (i_lo, j_hi) range bounds implement the half-ring force decomposition's
+    GATED shared hop (even d, ring distance d/2): the two devices holding a
+    block pair each sweep a complementary half keyed on the low block's
+    particle index, so every cross-pair is computed exactly once while each
+    device does half the block work. Tiles wholly outside the range are
+    skipped (ranges are traced per-device values -> scalar prefetch, not
+    static). Full hops pass (0, n_j)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_i_ref[:, :] = jnp.zeros_like(out_i_ref)
+
+    i_lo = ilo_ref[0]
+    j_hi = jhi_ref[0]
+    compute = jnp.logical_and((i + 1) * tile_i - 1 >= i_lo, j * tile_j < j_hi)
+
+    @pl.when(jnp.logical_not(compute))
+    def _skip():
+        out_j_ref[0, :, :] = jnp.zeros_like(out_j_ref[0])
+
+    @pl.when(compute)
+    def _tile():
+        xi = pos_i_ref[0, :].reshape(tile_i, 1)
+        yi = pos_i_ref[1, :].reshape(tile_i, 1)
+        zi = pos_i_ref[2, :].reshape(tile_i, 1)
+        xj = pos_j_ref[0, :].reshape(1, tile_j)
+        yj = pos_j_ref[1, :].reshape(1, tile_j)
+        zj = pos_j_ref[2, :].reshape(1, tile_j)
+
+        L = box_length
+        inv_l = inv_box_length
+        dx = xi - xj
+        dy = yi - yj
+        dz = zi - zj
+        dx = dx - L * jnp.round(dx * inv_l)
+        dy = dy - L * jnp.round(dy * inv_l)
+        dz = dz - L * jnp.round(dz * inv_l)
+        r2 = dx * dx + dy * dy + dz * dz
+
+        li = i * tile_i + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
+        lj_ = j * tile_j + jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
+        gi = gi0_ref[0] + li
+        gj = gj0_ref[0] + lj_
+        mask = (
+            (r2 < rc_square)
+            & (gi != gj)
+            & (li < n_i)
+            & (lj_ < n_j)
+            & (li >= i_lo)
+            & (lj_ < j_hi)
+        )
+
+        coef, du, e, ddu = lj_pair_terms(r2, mask, approx_reciprocal, want_observables)
+
+        fx = coef * dx
+        fy = coef * dy
+        fz = coef * dz
+        out_i_ref[0, :] += jnp.sum(fx, axis=1)
+        out_i_ref[1, :] += jnp.sum(fy, axis=1)
+        out_i_ref[2, :] += jnp.sum(fz, axis=1)
+        if want_observables:
+            out_i_ref[3, :] += jnp.sum(e, axis=1)
+            out_i_ref[4, :] += jnp.sum(du, axis=1)
+            out_i_ref[5, :] += jnp.sum(ddu, axis=1)
+        # Reaction on j: -sum_i f_ij (column sums).
+        out_j_ref[0, 0, :] = -jnp.sum(fx, axis=0)
+        out_j_ref[0, 1, :] = -jnp.sum(fy, axis=0)
+        out_j_ref[0, 2, :] = -jnp.sum(fz, axis=0)
+        out_j_ref[0, 3:8, :] = jnp.zeros_like(out_j_ref[0, 3:8, :])
+
+
+def pallas_pair_sweep_rect_newton(
+    pos_i: jax.Array,
+    pos_j: jax.Array,
+    n_i: int,
+    n_j: int,
+    gi0: jax.Array,
+    gj0: jax.Array,
+    box_length: float,
+    rc_square: float,
+    i_lo: jax.Array | int = 0,
+    j_hi: jax.Array | int | None = None,
+    tile_i: int = 128,
+    tile_j: int = 1024,
+    interpret: bool = False,
+    approx_reciprocal: bool = False,
+    want_observables: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Pair-once Newton rect sweep: i rows (8, ni_pad) against a DIFFERENT j
+    block (8, nj_pad), active range [i_lo, n_i) x [0, j_hi) (traced bounds).
+
+    Returns (acc_i (8, ni_pad), acc_j (8, nj_pad)): acc_i rows 0..2 = i-side
+    forces WITHOUT the 24 prefactor, rows 3..5 = pair-ONCE e/du/ddu partials
+    (totals restore with prefactors 4/24, NO halving); acc_j rows 0..2 =
+    j-side reaction forces (rows 3..7 zero)."""
+    ni_pad = pos_i.shape[1]
+    nj_pad = pos_j.shape[1]
+    tile_i = min(tile_i, ni_pad)
+    tile_j = min(tile_j, nj_pad)
+    if ni_pad % tile_i or nj_pad % tile_j:
+        raise ValueError(
+            f"pads ({ni_pad}, {nj_pad}) must be divisible by tiles "
+            f"({tile_i}, {tile_j})"
+        )
+    if j_hi is None:
+        j_hi = n_j
+    grid = (ni_pad // tile_i, nj_pad // tile_j)
+    kernel = functools.partial(
+        _lj_rect_newton_kernel,
+        box_length=float(box_length),
+        inv_box_length=1.0 / float(box_length),
+        rc_square=float(rc_square),
+        n_i=n_i,
+        n_j=n_j,
+        tile_i=tile_i,
+        tile_j=tile_j,
+        approx_reciprocal=approx_reciprocal and not interpret,
+        want_observables=want_observables,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, tile_i), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((8, tile_j), lambda i, j, *_: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, tile_i), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((1, 8, tile_j), lambda i, j, *_: (i, 0, j)),
+        ],
+    )
+    out_i, out_j = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, ni_pad), pos_i.dtype),
+            jax.ShapeDtypeStruct((grid[0], 8, nj_pad), pos_i.dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(24 * ni_pad * nj_pad),
+            bytes_accessed=int(
+                4 * 8 * (ni_pad * (grid[1] + 1) + nj_pad * grid[0] * 2)
+            ),
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray(gi0, jnp.int32).reshape(1),
+        jnp.asarray(gj0, jnp.int32).reshape(1),
+        jnp.asarray(i_lo, jnp.int32).reshape(1),
+        jnp.asarray(j_hi, jnp.int32).reshape(1),
+        pos_i,
+        pos_j,
+    )
+    return out_i, jnp.sum(out_j, axis=0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

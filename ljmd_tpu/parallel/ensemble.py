@@ -34,10 +34,63 @@ from ljmd_tpu.stats.thermo import ThermoCoefs, thermo_coefs_from_report
 
 __all__ = [
     "EnsembleResult",
+    "HostSeries",
     "ReplicaStats",
     "ensemble_simulate",
     "ensemble_aggregate",
 ]
+
+
+class HostSeries:
+    """Host-resident (R, 5, n_samples) sampled series.
+
+    The streaming ensemble keeps the series on host by design (that is its
+    memory guarantee) — but ``EnsembleResult`` is a pytree-registered
+    dataclass, and a bare numpy array in a data field would be treated as a
+    leaf: ``jax.tree.map`` over the result would device-put it (or trip on
+    it under jit), silently defeating the host/device split (VERDICT round-4
+    item 5). This wrapper is registered as a pytree node with NO children,
+    so tree transformations pass it through untouched, while ``np.asarray``
+    / ``.shape`` / indexing keep working for consumers.
+    """
+
+    __slots__ = ("array",)
+
+    def __init__(self, array):
+        import numpy as _np
+
+        self.array = _np.asarray(array)
+
+    def __array__(self, dtype=None, copy=None):
+        import numpy as _np
+
+        if dtype is None and not copy:
+            return self.array
+        return _np.asarray(self.array, dtype=dtype)
+
+    @property
+    def shape(self):
+        return self.array.shape
+
+    @property
+    def dtype(self):
+        return self.array.dtype
+
+    def __getitem__(self, idx):
+        return self.array[idx]
+
+    def __len__(self):
+        return len(self.array)
+
+    def __repr__(self):
+        return f"HostSeries(shape={self.array.shape}, dtype={self.array.dtype})"
+
+
+# No children: tree.map / flatten leave the host array alone (aux data uses
+# object identity for eq/hash, so treedef comparison stays well-defined).
+jax.tree_util.register_pytree_node(
+    HostSeries, lambda hs: ((), hs), lambda hs, _children: hs
+)
 
 
 @jax.tree_util.register_dataclass
@@ -87,7 +140,7 @@ class ReplicaStats:
     means: object        # batched MeansReport, fields shaped (R, 11)
     corr: jax.Array      # (R, 5, max_lag+1)
     corr_norm: jax.Array  # (R, 5, max_lag+1)
-    series: object       # (R, 5, n_samples) array-like (host np in streaming)
+    series: object       # (R, 5, n_samples): HostSeries in the streaming path
 
 
 def ensemble_simulate(
@@ -266,12 +319,18 @@ def ensemble_simulate_streaming(
     item 8): the sampled (R, 5, k) series blocks are fetched to host after
     every ``chunk_samples`` samples, so a config-4-at-scale run (many
     replicas x reference-length sampling) never materializes the full
-    (R, 5, n_samples) series — only the means accumulators and the engine
-    carries stay on device. Correlation curves are computed per replica from
-    the host series (one replica resident at a time).
+    (R, 5, n_samples) series DURING the run — only the means accumulators
+    and the engine carries stay on device while stepping.
+
+    The correlation stage afterwards IS batched: one vmapped program over
+    the full (R, 5, n_samples) host stack (a host loop of per-replica jit
+    calls was the driver's dominant non-sweep cost — exp_ens_attrib2,
+    2026-08-19). At config-4 scale that stack is ~6 MB; for R*n_samples far
+    beyond that, chunk the ``corr_fn`` call over replica groups.
 
     Returns an EnsembleResult numerically identical to ``ensemble_simulate``
-    (same per-sample op sequence; scan chunking does not change the math).
+    (same per-sample op sequence; scan chunking does not change the math),
+    with ``series`` wrapped in :class:`HostSeries` (host numpy, pytree-inert).
     """
     import numpy as np
 
@@ -314,9 +373,9 @@ def ensemble_simulate_streaming(
         corr_norm = jnp.zeros((r, 5, 1), dtype)
 
     # series stays a HOST numpy array (the whole point: the (R,5,n) stack
-    # never lands in HBM); ensemble_aggregate only reduces means/corr.
+    # never persists in HBM); ensemble_aggregate only reduces means/corr.
     return ensemble_aggregate(
         cfg,
         ReplicaStats(means=report, corr=corr, corr_norm=corr_norm,
-                     series=series_host),
+                     series=HostSeries(series_host)),
     )

@@ -1,13 +1,21 @@
 """Particle-axis (spatial) sharding of the pair sweep over a device mesh.
 
 TPU-native large-N mode (SURVEY §5.7/§5.8): the i-axis of the N x N pair
-matrix is sharded over the mesh's "particle" axis; each device gathers the
-full position set over ICI (``all_gather``) and computes forces for its own
-i-rows against all j; scalar energy/virial sums are ``psum``-reduced. This is
-the ring-attention-shaped decomposition of pair interactions, expressed with
-XLA collectives instead of hand-written NCCL (the reference has no
-distribution at all — its ensemble is a serial do-loop,
-``run_many_md_simuations/run_many_md.f90:57-82``).
+matrix is sharded over the mesh's "particle" axis. Three comm strategies:
+
+- ``half_ring`` (default): PAIR-ONCE force decomposition — triangular self
+  block, floor((d-1)/2) rect-Newton ring hops (j blocks and their traveling
+  reaction accumulators rotate via ``lax.ppermute``), a gated complementary-
+  half hop for even d, and one final permute returning reactions to their
+  owners. Exactly N^2/2 pair evaluations across the mesh (the ordered-pair
+  ring did 2x that — VERDICT round-4 item 2).
+- ``ring``: ordered-pair j-block rotation (kept for comparison/fallback).
+- ``all_gather``: replicate positions per device (tests/oracle).
+
+Scalar energy/virial sums are ``psum``-reduced. This is the ring-attention-
+shaped decomposition of pair interactions, expressed with XLA collectives
+instead of hand-written NCCL (the reference has no distribution at all — its
+ensemble is a serial do-loop, ``run_many_md_simuations/run_many_md.f90:57-82``).
 
 All functions here are written for ``shard_map`` bodies: they see LOCAL
 shards and use ``jax.lax`` collectives explicitly.
@@ -32,6 +40,7 @@ from ljmd_tpu.state import MDState, StepObs
 
 __all__ = [
     "lj_rect_partials",
+    "lj_rect_partials_newton",
     "make_spatial_engine",
     "make_spatial_step_fn",
     "shard_state",
@@ -79,6 +88,66 @@ def lj_rect_partials(
         axis=-1,
     )
     return a_local, jnp.sum(pair_e), jnp.sum(du_r), jnp.sum(pair_ddu)
+
+
+def lj_rect_partials_newton(
+    r_local: jax.Array,
+    r_j: jax.Array,
+    gi_offset,
+    gj_offset,
+    box_length: float,
+    rc_square: float,
+    i_lo=0,
+    j_hi=None,
+    triangular: bool = False,
+):
+    """Pair-ONCE rect sweep with Newton's-3rd-law reactions (jnp fallback of
+    ``pallas_pair_sweep_rect_newton``): local i rows (ni, 3) against a j
+    block (nj, 3), each pair in the active range [i_lo, ni) x [0, j_hi)
+    evaluated once.
+
+    Returns (a_i (ni,3), a_j (nj,3), e, du, ddu): i-side forces, j-side
+    reaction forces (both WITHOUT the 24 prefactor), and pair-once scalar
+    partials (totals restore with prefactors 4/24, NO halving).
+    ``triangular=True`` additionally masks to gj > gi (the self-block cover).
+    """
+    ni = r_local.shape[0]
+    nj = r_j.shape[0]
+    dtype = r_local.dtype
+    inv_l = 1.0 / box_length
+    if j_hi is None:
+        j_hi = nj
+
+    xi, yi, zi = (r_local[:, k][:, None] for k in range(3))
+    xj, yj, zj = (r_j[:, k][None, :] for k in range(3))
+    dx = minimum_image(xi - xj, box_length, inv_l)
+    dy = minimum_image(yi - yj, box_length, inv_l)
+    dz = minimum_image(zi - zj, box_length, inv_l)
+    r2 = dx * dx + dy * dy + dz * dz
+
+    li = lax.broadcasted_iota(jnp.int32, (ni, nj), 0)
+    lj_ = lax.broadcasted_iota(jnp.int32, (ni, nj), 1)
+    gi = gi_offset + li
+    gj = gj_offset + lj_
+    mask = (
+        (r2 < jnp.asarray(rc_square, dtype))
+        & (gi != gj)
+        & (li >= jnp.asarray(i_lo, jnp.int32))
+        & (lj_ < jnp.asarray(j_hi, jnp.int32))
+    )
+    if triangular:
+        mask = mask & (gj > gi)
+
+    pair_e, du_r, pair_ddu, inv_r2 = _pair_terms(r2, mask, dtype)
+    coef = -du_r * inv_r2
+    fx, fy, fz = coef * dx, coef * dy, coef * dz
+    a_i = jnp.stack(
+        [jnp.sum(fx, axis=1), jnp.sum(fy, axis=1), jnp.sum(fz, axis=1)], axis=-1
+    )
+    a_j = -jnp.stack(
+        [jnp.sum(fx, axis=0), jnp.sum(fy, axis=0), jnp.sum(fz, axis=0)], axis=-1
+    )
+    return a_i, a_j, jnp.sum(pair_e), jnp.sum(du_r), jnp.sum(pair_ddu)
 
 
 def spatial_state_specs():
@@ -132,7 +201,13 @@ def _ring_partials(
         # any local count.
         tile_i = 128
         nj_pad = _round_up(ni, 128)
-        tile_j = min(1024, nj_pad)
+        # tile_j must DIVIDE nj_pad (the rect kernel grids over nj_pad /
+        # tile_j): pick the largest 128-multiple divisor <= 1024, mirroring
+        # the zsort engine's sweep_tj selection (a bare min(1024, nj_pad)
+        # raises at trace time for e.g. nj_pad=1152).
+        tile_j = max(
+            t for t in range(128, min(1024, nj_pad) + 1, 128) if nj_pad % t == 0
+        )
         ni_pad = _round_up(ni, 128)
         pos_i = jnp.zeros((8, ni_pad), dtype).at[0:3, :ni].set(r_local.T)
         pos_j = jnp.zeros((8, nj_pad), dtype).at[0:3, :ni].set(r_local.T)
@@ -169,11 +244,124 @@ def _ring_partials(
     return a_loc, e, du, ddu
 
 
+def _half_ring_partials(
+    r_local: jax.Array,
+    axis: str,
+    n_shards: int,
+    box_length: float,
+    rc_square: float,
+    use_pallas: bool,
+    interpret: bool,
+):
+    """PAIR-ONCE half-ring force decomposition (VERDICT round-4 item 2,
+    classic force-decomposition MD): the full ring computed every ordered
+    pair — 2x the pair work. Here each unordered pair is evaluated once:
+
+    - self block: triangular cover (gj > gi) with in-kernel Newton reactions;
+    - hops h = 1..floor((d-1)/2): full rect Newton sweep against the visiting
+      block (s - h) — block b is visited by i-shards b+1..b+H, so every
+      cross-block pair at ring distance <= H is covered exactly once;
+    - even d only, hop d/2: the block pair {s, s+d/2} is seen from BOTH ends,
+      so the two devices sweep complementary halves keyed on the LOW block's
+      particle index (low device: i rows >= ni/2; high device: j cols
+      < ni/2) — each pair once, each device half the block work.
+
+    The j-side reaction partials travel WITH the visiting block (the ppermute
+    carries (pos_j, f_acc_j) together) and return to their owner shard in one
+    final permute. Scalar sums are pair-once: callers restore prefactors
+    4/24 with NO halving. Total pair work across the mesh is exactly N^2/2,
+    balanced per device (self half-block + H full + possibly one half).
+
+    Returns (a_local_raw (ni,3) WITHOUT the 24 prefactor, e, du, ddu)."""
+    ni = r_local.shape[0]
+    dtype = r_local.dtype
+    d = n_shards
+    my = lax.axis_index(axis)
+    gi0 = my * ni
+    h_full = (d - 1) // 2
+    has_half = d % 2 == 0 and d > 1
+    total_hops = h_full + (1 if has_half else 0)
+    perm_fwd = [(s, (s + 1) % d) for s in range(d)]
+    half = ni // 2
+
+    def _hop_ranges(h):
+        if has_half and h == total_hops:
+            is_low = my < (d // 2)
+            return (
+                jnp.where(is_low, half, 0),
+                jnp.where(is_low, ni, half),
+            )
+        return jnp.asarray(0, jnp.int32), jnp.asarray(ni, jnp.int32)
+
+    if use_pallas:
+        from ljmd_tpu.ops.pallas_lj import (
+            _round_up,
+            pallas_pair_sweep_rect_newton,
+            pallas_pair_sweep_tri,
+        )
+
+        tile_i = 128
+        ni_pad = _round_up(ni, 128)
+        tile_j = max(
+            t for t in range(128, min(1024, ni_pad) + 1, 128) if ni_pad % t == 0
+        )
+        pos_local = jnp.zeros((8, ni_pad), dtype).at[0:3, :ni].set(r_local.T)
+        # Triangular self block (pair-once, reactions folded in-kernel).
+        acc = pallas_pair_sweep_tri(
+            pos_local, ni, box_length, rc_square,
+            tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+        )
+        pos_j = pos_local
+        facc = jnp.zeros((8, ni_pad), dtype)
+        for h in range(1, total_hops + 1):
+            pos_j = lax.ppermute(pos_j, axis, perm_fwd)
+            facc = lax.ppermute(facc, axis, perm_fwd)
+            gj0 = ((my - h) % d) * ni
+            i_lo, j_hi = _hop_ranges(h)
+            out_i, out_j = pallas_pair_sweep_rect_newton(
+                pos_local, pos_j, ni, ni, gi0, gj0, box_length, rc_square,
+                i_lo=i_lo, j_hi=j_hi, tile_i=tile_i, tile_j=tile_j,
+                interpret=interpret,
+            )
+            acc = acc + out_i
+            facc = facc + out_j
+        if total_hops:
+            perm_back = [(s, (s - total_hops) % d) for s in range(d)]
+            facc = lax.ppermute(facc, axis, perm_back)
+            acc = acc + facc  # facc rows 3..7 are zero
+        a_loc = acc[0:3, :ni].T
+        return a_loc, jnp.sum(acc[3]), jnp.sum(acc[4]), jnp.sum(acc[5])
+
+    a_i, a_j, e, du, ddu = lj_rect_partials_newton(
+        r_local, r_local, gi0, gi0, box_length, rc_square, triangular=True
+    )
+    a_loc = a_i + a_j
+    r_j = r_local
+    facc = jnp.zeros((ni, 3), dtype)
+    for h in range(1, total_hops + 1):
+        r_j = lax.ppermute(r_j, axis, perm_fwd)
+        facc = lax.ppermute(facc, axis, perm_fwd)
+        gj0 = ((my - h) % d) * ni
+        i_lo, j_hi = _hop_ranges(h)
+        a_b, aj_b, e_b, du_b, ddu_b = lj_rect_partials_newton(
+            r_local, r_j, gi0, gj0, box_length, rc_square, i_lo=i_lo, j_hi=j_hi
+        )
+        a_loc = a_loc + a_b
+        facc = facc + aj_b
+        e = e + e_b
+        du = du + du_b
+        ddu = ddu + ddu_b
+    if total_hops:
+        perm_back = [(s, (s - total_hops) % d) for s in range(d)]
+        a_loc = a_loc + lax.ppermute(facc, axis, perm_back)
+    return a_loc, e, du, ddu
+
+
 def _make_local_step(
     cfg: SimConfig,
     axis: str,
     n_shards: int = 0,
-    comm: str = "ring",
+    comm: str = "half_ring",
     use_pallas: bool | None = None,
     interpret: bool | None = None,
 ):
@@ -212,20 +400,32 @@ def _make_local_step(
     )
 
     def local_force(r_local):
-        if comm == "ring":
+        pair_once = comm == "half_ring"
+        if comm == "half_ring":
+            a_raw, e, du, ddu = _half_ring_partials(
+                r_local, axis, n_shards, L, cfg.rc_square, use_pallas, interpret
+            )
+        elif comm == "ring":
             a_raw, e, du, ddu = _ring_partials(
                 r_local, axis, n_shards, L, cfg.rc_square, use_pallas, interpret
             )
-        else:
+        elif comm == "all_gather":
             r_all = lax.all_gather(r_local, axis, axis=0, tiled=True)
             gi0 = lax.axis_index(axis) * r_local.shape[0]
             a_raw, e, du, ddu = lj_rect_partials(r_local, r_all, gi0, L, cfg.rc_square)
+        else:
+            raise ValueError(f"unknown comm {comm!r}")
         e = lax.psum(e, axis)
         du = lax.psum(du, axis)
         ddu = lax.psum(ddu, axis)
-        epot = 2.0 * e + jnp.asarray(e_t, dtype)      # 4 * (1/2) + tail
-        d_epot = 12.0 * du + jnp.asarray(d_t, dtype)
-        dd_epot = 12.0 * ddu + jnp.asarray(dd_t, dtype)
+        if pair_once:
+            epot = 4.0 * e + jnp.asarray(e_t, dtype)
+            d_epot = 24.0 * du + jnp.asarray(d_t, dtype)
+            dd_epot = 24.0 * ddu + jnp.asarray(dd_t, dtype)
+        else:
+            epot = 2.0 * e + jnp.asarray(e_t, dtype)      # 4 * (1/2) + tail
+            d_epot = 12.0 * du + jnp.asarray(d_t, dtype)
+            dd_epot = 12.0 * ddu + jnp.asarray(dd_t, dtype)
         return 24.0 * a_raw, epot, d_epot, dd_epot
 
     if compensated:
@@ -281,7 +481,7 @@ def make_spatial_step_fn(
     cfg: SimConfig,
     mesh: Mesh,
     axis: str = PARTICLE_AXIS,
-    comm: str = "ring",
+    comm: str = "half_ring",
     use_pallas: bool | None = None,
 ):
     """A velocity-Verlet step over particle shards via shard_map.
@@ -320,7 +520,7 @@ def make_ensemble_spatial_step_fn(
     cfg: SimConfig,
     mesh: Mesh,
     axis: str = PARTICLE_AXIS,
-    comm: str = "ring",
+    comm: str = "half_ring",
     use_pallas: bool | None = None,
 ):
     """Combined replica x particle sharding: batched MDState arrays
@@ -369,7 +569,7 @@ def make_spatial_engine(
     cfg: SimConfig,
     mesh: Mesh,
     axis: str = PARTICLE_AXIS,
-    comm: str = "ring",
+    comm: str = "half_ring",
     use_pallas: bool | None = None,
 ):
     """Engine-interface wrapper for the particle-sharded step, so the

@@ -56,7 +56,9 @@ cfg4 = config_from_density(num_cells=10, density=0.8442, dt=0.005,
                            dtype="float32")
 st4 = melt(cfg4)
 eng_r = _pallas_rows_engine(cfg4)
-eng_q = make_spatial_engine(cfg4, mesh)
+eng_q = make_spatial_engine(cfg4, mesh, comm="ring")
+eng_h = make_spatial_engine(cfg4, mesh, comm="half_ring")
 
 diff_time("N=4000 single-chip dense", eng_r, st4, 200, 800)
 diff_time("N=4000 rect/ring mesh=1", eng_q, st4, 200, 800)
+diff_time("N=4000 half-ring mesh=1", eng_h, st4, 200, 800)

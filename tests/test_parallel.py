@@ -157,6 +157,48 @@ def test_ring_matches_all_gather_and_pallas():
         assert float(obs.d_epot[-1]) == pytest.approx(float(ref_obs.d_epot[-1]), rel=1e-10)
 
 
+def test_half_ring_matches_all_gather():
+    """Pair-once half-ring force decomposition (the default comm, VERDICT
+    round-4 item 2) == the ordered-pair all_gather oracle across shard
+    counts: d=2 (gated shared hop only), d=3 (odd: full hops only), d=4
+    (full + gated hop), jnp path and Pallas interpret path."""
+    for num_cells, d, use_pallas in [
+        (2, 2, False), (3, 3, False), (2, 4, False), (2, 4, True), (2, 8, False),
+    ]:
+        cfg = small_cfg() if num_cells == 2 else config_from_density(
+            num_cells=3, density=0.6, total_steps=120, output_interval=10,
+            warmup_steps=20, dt=0.002, dtype="float64",
+            target_total_energy=-200.0, seed=3,
+        )
+        assert cfg.n % d == 0
+        state = initialize(cfg, backend="dense")
+        mesh = make_mesh(replica=1, particle=d)
+
+        ref_step = make_spatial_step_fn(cfg, mesh, comm="all_gather")
+        hr_step = make_spatial_step_fn(cfg, mesh, comm="half_ring",
+                                       use_pallas=use_pallas)
+        s0 = shard_state(state, mesh)
+        run_ref = jax.jit(
+            lambda s: jax.lax.scan(lambda c, _: ref_step(c), s, None, length=5))
+        run_hr = jax.jit(
+            lambda s: jax.lax.scan(lambda c, _: hr_step(c), s, None, length=5))
+        want_state, want_obs = run_ref(s0)
+        got_state, got_obs = run_hr(s0)
+
+        tag = f"d={d} pallas={use_pallas}"
+        np.testing.assert_allclose(
+            np.asarray(got_state.r), np.asarray(want_state.r),
+            rtol=1e-11, atol=1e-12, err_msg=tag,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_state.v), np.asarray(want_state.v),
+            rtol=1e-10, atol=1e-12, err_msg=tag,
+        )
+        for f in ("epot", "ekin", "d_epot", "dd_epot"):
+            assert float(getattr(got_obs, f)[-1]) == pytest.approx(
+                float(getattr(want_obs, f)[-1]), rel=1e-10), (tag, f)
+
+
 @pytest.mark.slow
 def test_spatial_engine_production_matches_single_device():
     """The sharded engine runs through the standard production driver
@@ -221,11 +263,14 @@ def test_streaming_ensemble_matches_in_memory():
     round-1 item 8); series lives on host as numpy."""
     from ljmd_tpu.parallel.ensemble import ensemble_simulate_streaming
 
+    from ljmd_tpu.parallel.ensemble import HostSeries
+
     cfg = small_cfg()
     want = ensemble_simulate(cfg, n_replicas=3, backend="dense")
     got = ensemble_simulate_streaming(cfg, n_replicas=3, backend="dense",
                                       chunk_samples=4)
-    assert isinstance(got.series, np.ndarray)
+    assert isinstance(got.series, HostSeries)
+    assert isinstance(got.series.array, np.ndarray)
     np.testing.assert_allclose(np.asarray(got.series), np.asarray(want.series),
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(got.replica_means),
@@ -235,6 +280,51 @@ def test_streaming_ensemble_matches_in_memory():
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(got.mean_of_means),
                                np.asarray(want.mean_of_means), rtol=1e-12)
+
+
+def test_tree_map_over_ensemble_result_both_paths():
+    """jax.tree.map over an EnsembleResult must be safe on both the batched
+    (device series) and streaming (HostSeries) paths — the streamed host
+    series is pytree-inert, so a tree.map cannot device-put it (VERDICT
+    round-4 item 5)."""
+    from ljmd_tpu.parallel.ensemble import HostSeries, ensemble_simulate_streaming
+
+    cfg = small_cfg()
+    dev = ensemble_simulate(cfg, n_replicas=2, backend="dense")
+    host = ensemble_simulate_streaming(cfg, n_replicas=2, backend="dense",
+                                       chunk_samples=4)
+
+    mapped_dev = jax.tree.map(lambda x: x * 1, dev)
+    np.testing.assert_array_equal(np.asarray(mapped_dev.series),
+                                  np.asarray(dev.series))
+
+    mapped_host = jax.tree.map(lambda x: x * 1, host)
+    # the HostSeries leaf-less node passes through UNTOUCHED (same object,
+    # never visited by the map fn, never device-put)
+    assert mapped_host.series is host.series
+    assert isinstance(mapped_host.series, HostSeries)
+    leaves = jax.tree.leaves(host.series)
+    assert leaves == []
+
+
+def test_simulate_pipeline_traces_once():
+    """Repeated simulate() calls with the same (cfg, backend, record_frames)
+    must reuse one traced pipeline (VERDICT round-4 item 5: the single-run
+    API gets the same cache the ensemble paths have)."""
+    from ljmd_tpu.models.simulation import (
+        _pipeline_trace_counts,
+        _simulate_fn,
+        simulate,
+    )
+
+    cfg = small_cfg()
+    _simulate_fn.cache_clear()
+    _pipeline_trace_counts.clear()
+    a = simulate(cfg, backend="dense")
+    b = simulate(cfg, backend="dense")
+    key = (cfg, "dense", False)
+    assert _pipeline_trace_counts.get(key) == 1
+    np.testing.assert_array_equal(np.asarray(a.series), np.asarray(b.series))
 
 
 @pytest.mark.slow
@@ -249,7 +339,7 @@ def test_streaming_ensemble_8_replicas_end_to_end(tmp_path):
     cfg = small_cfg(total_steps=400, warmup_steps=40, n_runs=8)
     out = ensemble_simulate_streaming(cfg, n_replicas=8, chunk_samples=16)
 
-    assert isinstance(out.series, np.ndarray)
+    assert isinstance(np.asarray(out.series), np.ndarray)
     assert out.series.shape[0] == 8
     assert int(np.asarray(out.n_ok)) == 8
     etot = np.asarray(out.series)[:, 2, :]
