@@ -974,6 +974,7 @@ def _cellpair_engine(
     use_fused: bool | None = None,
     width_lists: bool | None = None,
     mono: bool | None = None,
+    inner_chunk: int | None = None,
 ) -> Engine:
     """Structured pencil-sweep backend for large N (SURVEY §5.7): pair work
     O(N * 9 * capacity) with purely block-structured memory access; rebinning
@@ -1326,7 +1327,22 @@ def _cellpair_engine(
     dt = cfg.dt
     half_dt = 0.5 * cfg.dt
     half_dt_sq = 0.5 * cfg.dt * cfg.dt
-    rebuild_thresh = (0.5 * skin) ** 2
+    # GEOMETRIC bin-validity slack (round-5 rebin-bill work): coverage of the
+    # 9-pencil xy neighborhood only requires rc + 2*delta_xy <= pencil_width,
+    # i.e. per-particle XY drift below (width - rc)/2 — z is unrestricted
+    # (the sweeps cover full z columns; sentinels + MIC handle z drift).
+    # pencil_width = L / floor(L / (rc + skin)) >= rc + skin, so this slack
+    # is at least the configured skin and typically much larger (131k:
+    # skin 0.49 -> 0.245 old thresh vs geometric 0.331, and the drift that
+    # counts is now the ~sqrt(2/3)-smaller XY projection). The z-band path
+    # keeps the conservative 3D check (its z windows assume bounded z drift).
+    skin_xy = grid.pencil_width - cfg.rc
+    if z_band:
+        rebuild_thresh = (0.5 * skin) ** 2
+        _drift_rows = slice(0, 3)
+    else:
+        rebuild_thresh = (0.5 * skin_xy) ** 2
+        _drift_rows = slice(0, 2)
 
     def _step(c: PencilCarry, want_obs: bool, rebin: bool = True):
         # Position update on xyz rows only (aux rows 3/4 of r stay intact).
@@ -1365,8 +1381,11 @@ def _cellpair_engine(
             )
             return carry, obs_from(out, ekin)
 
-        d = minimum_image(r_new[0:3] - c.r_ref[0:3], L)
-        moved = jnp.max(jnp.sum(d * d, axis=0) * r_new[3]) > rebuild_thresh
+        if rebin == "force":
+            moved = None  # unconditional rebin (no cond, no copy overhead)
+        else:
+            d = minimum_image(r_new[_drift_rows] - c.r_ref[_drift_rows], L)
+            moved = jnp.max(jnp.sum(d * d, axis=0) * r_new[3]) > rebuild_thresh
 
         def do_rebin(args):
             r8, ru8, v8, rc8, vc8 = args
@@ -1409,9 +1428,12 @@ def _cellpair_engine(
                  c.wl_nbr_off),
             )
 
-        r_new, ru_new, v_half, rc_new, vc_half, r_ref, counts, wa, wb, ub, ovf, wl = lax.cond(
-            moved, do_rebin, no_rebin, (r_new, ru_new, v_half, rc_new, vc_half)
-        )
+        args = (r_new, ru_new, v_half, rc_new, vc_half)
+        if rebin == "force":
+            outs = do_rebin(args)
+        else:
+            outs = lax.cond(moved, do_rebin, no_rebin, args)
+        r_new, ru_new, v_half, rc_new, vc_half, r_ref, counts, wa, wb, ub, ovf, wl = outs
 
         out = sweep(r_new, counts, (wa, wb, ub), want_obs)
         a_new = 24.0 * out * row_mask
@@ -1445,7 +1467,7 @@ def _cellpair_engine(
     # during the coming chunk. A displacement past skin/2 observed at a
     # check sets the sticky overflow flag (possible missed pairs during the
     # last chunk) — the zsort engine's honesty pattern.
-    chunk_invalid_thresh = (0.5 * skin) ** 2
+    chunk_invalid_thresh = rebuild_thresh  # geometric xy slack (non-z_band)
     _PREDICT_SAFETY = 1.25
 
     def _rebin_carry(c: PencilCarry) -> PencilCarry:
@@ -1480,23 +1502,32 @@ def _cellpair_engine(
             wl_nbr_i=wl[2], wl_nbr_j=wl[3], wl_nbr_off=wl[4],
         )
 
+    def _invalid_check(c: PencilCarry):
+        """Sticky-flag drift past the coverage slack since the last rebin
+        (possible missed pairs during the last chunk — the zsort engine's
+        honesty pattern). Returns (carry, moved2)."""
+        valid = c.r[3]
+        d = minimum_image(c.r[_drift_rows] - c.r_ref[_drift_rows], L)
+        moved2 = jnp.sum(d * d, axis=0) * valid
+        return dataclasses.replace(
+            c, overflow=c.overflow | (jnp.max(moved2) > chunk_invalid_thresh)
+        ), moved2
+
     def _maybe_rebin(c: PencilCarry, k: int) -> PencilCarry:
         valid = c.r[3]
-        d = minimum_image(c.r[0:3] - c.r_ref[0:3], L)
-        moved2 = jnp.sum(d * d, axis=0) * valid
-        c = dataclasses.replace(
-            c, overflow=c.overflow | (jnp.max(moved2) > chunk_invalid_thresh)
-        )
+        c, moved2 = _invalid_check(c)
         if rebin_trigger == "never":  # floor measurement only (UNSAFE)
             return c
         if rebin_trigger == "always":
             return _rebin_carry(c)
-        speed = jnp.sqrt(jnp.sum(c.v[0:3] * c.v[0:3], axis=0))
+        speed = jnp.sqrt(jnp.sum(c.v[_drift_rows] * c.v[_drift_rows], axis=0))
         predicted = jnp.sqrt(moved2) + speed * (k * dt * _PREDICT_SAFETY)
-        will_exceed = jnp.max(predicted * valid) > 0.5 * skin
+        thresh = 0.5 * (skin if z_band else skin_xy)
+        will_exceed = jnp.max(predicted * valid) > thresh
         return lax.cond(will_exceed, _rebin_carry, lambda cc: cc, c)
 
-    inner_chunk = 8
+    if inner_chunk is None:
+        inner_chunk = 8
 
     def _run_chunk_kernel(c: PencilCarry, k: int):
         ext = dict(r_lo=c.rc, vc=c.vc) if compensated else {}
@@ -1555,14 +1586,25 @@ def _cellpair_engine(
         per-step path ran N=131k at 2.5e7 ps/s against a much higher
         no-rebin floor — exp_bign/exp_pencil_bill)."""
         def chunk(cc: PencilCarry, k: int) -> PencilCarry:
-            cc = _maybe_rebin(cc, k)
             # The k steps are UNROLLED (k <= inner_chunk, static): a
             # lax.scan here, compiled into the same module as the rebin's
             # gather pipeline, miscompiles on v5e — the scanned sweeps
             # compute corrupted forces (energy injection ~ permutation
             # distance; bisected at N=131072, docs/RESULTS.md
             # "rebin+scan miscompile"). Straight-line steps measure clean.
-            for _ in range(k):
+            start = 0
+            if rebin_trigger == "always":
+                # MID-STEP rebin (round-5 rebin-bill work): fold the
+                # unconditional rebin into step 1, after its position
+                # update + half-kick — the acceleration row never crosses
+                # the rebin, so the permute gathers 10 rows instead of 13
+                # (a_new comes from the post-rebin sweep).
+                cc, _m = _invalid_check(cc)
+                cc, _ob = _step(cc, False, rebin="force")
+                start = 1
+            else:
+                cc = _maybe_rebin(cc, k)
+            for _ in range(start, k):
                 cc, _ob = _step(cc, False, rebin=False)
             return cc
 

@@ -157,8 +157,180 @@ def make_case(num_cells: int, L: float, rc_over_L: float, e_target: float,
     }
 
 
+# ----------------------------------------------------------------------
+# Driver-level mirror (round-5, VERDICT item 7): the full production-driver
+# pipeline — sampling cadence, 11-observable streaming means/stds, centered
+# ACF + normalization, block-averaged ACF, thermodynamic coefficients — in
+# exact-order scalar/NumPy float64, written against the cited Fortran:
+#   sampling (step > warmup) and (step % interval == 0)
+#       md_simulation_program.f90:361
+#   T = 2K/(3N), P = rho T + W/(3V), W = -d_epot
+#       md_means.f90:221,227; md_simulation_program.f90:365-366
+#   means/stds from Sum(x), Sum(x^2), std = sqrt(max(0, <x2>-<x>^2))
+#       md_means.f90:192-366; stats_math.f90:56-61
+#   centered ACF C(L) = (1/(n-L)) sum (A(k)-mu)(A(k+L)-mu)
+#       stats_math.f90:127-149; normalize C/C(0) :168-190
+#   block corr means: n_blocks equal blocks (remainder dropped), per-block
+#   ACF averaged, both <C> and <C/C(0)>   md_correlations.f90:668-803
+#   coefficient algebra (canonical module, f = 3N-3)
+#       thermodynamic_coefs.f90:87-205
+# ----------------------------------------------------------------------
+def _acf_centered(a: np.ndarray, max_lag: int) -> np.ndarray:
+    n = len(a)
+    mu = a.mean()
+    c = np.empty(max_lag + 1, dtype=np.float64)
+    for lag in range(max_lag + 1):
+        s = 0.0
+        for k in range(n - lag):
+            s += (a[k] - mu) * (a[k + lag] - mu)
+        c[lag] = s / (n - lag)
+    return c
+
+
+def _norm_corr(c: np.ndarray) -> np.ndarray:
+    return np.zeros_like(c) if abs(c[0]) < 1e-300 else c / c[0]
+
+
+def _thermo(n, volume, ek, press, ekinv, du, ddu, du_kinv, du2_kinv) -> dict:
+    f = 3.0 * n - 3.0
+    aux1 = 1.0 - 2.0 / f
+    aux2 = f / 2.0 - 1.0
+    T = 2.0 * ek / f
+    ca_v = 1.0 / (1.0 - aux1 * ek * ekinv)
+    ce_v = ca_v / n
+    gamma = 1.0 / ce_v + (aux2 / 3.0) * (du * ekinv - du_kinv)
+    k_s_aux = (n * T * (1.0 + 2.0 * gamma - 1.0 / ce_v)) / volume + (
+        ddu - 2.0 * du
+    ) / (9.0 * volume)
+    fluct = du2_kinv - 2.0 * du * du_kinv + du * du * ekinv
+    k_s = k_s_aux - aux2 * fluct / (9.0 * volume * volume)
+    k_t = k_s - (T * ca_v * gamma * gamma) / volume
+    return {
+        "temperature": T,
+        "pressure": press,
+        "Ca_v": ca_v,
+        "Ce_v": ce_v,
+        "Ca_p": ca_v * (k_s / k_t),
+        "Ce_p": ca_v * (k_s / k_t) / n,
+        "gamma": gamma,
+        "K_S": k_s,
+        "K_S_inv": 1.0 / k_s,
+        "K_T": k_t,
+        "K_T_inv": 1.0 / k_t,
+        "alpha_E1": 1.0 / (press * volume / ca_v - gamma * T),
+        "alpha_E2": 1.0 / ((1.0 / 3.0) * (aux1 * ek * du_kinv - du)),
+        "alpha_S": -1.0 / (gamma * T),
+        "alpha_P": (ca_v * gamma) / volume * (1.0 / k_t),
+    }
+
+
+def make_driver_case(num_cells, L, rc_over_L, e_target, dt,
+                     total_steps, warmup_steps, interval,
+                     max_lag, n_blocks_cap) -> dict:
+    n = 4 * num_cells**3
+    rc = rc_over_L * L
+    volume = L**3
+    rho = n / volume
+    r = fcc(num_cells, L)
+    v = reference_initial_velocities(n, seed=-12345)
+    v -= v.mean(axis=0, keepdims=True)
+
+    epot0, d0, dd0, acc0 = lj_kernel(r, L, rc, volume)
+    ekin_old = 0.5 * float(np.sum(v * v))
+    ekin_new = e_target - epot0
+    assert ekin_new > 0
+    v *= math.sqrt(ekin_new / ekin_old)
+
+    rr, vv, aa = r.copy(), v.copy(), acc0.copy()
+    obs_names = ["epot", "ekin", "etot", "temp", "press", "ekin_inv",
+                 "d_epot", "dd_epot", "d_epot_ekin_inv",
+                 "d_epot2_ekin_inv", "dd_epot_ekin_inv"]
+    sums = np.zeros(11)
+    sums2 = np.zeros(11)
+    count = 0
+    series = {k: [] for k in ("epot", "ekin", "etot", "temp", "press")}
+    for step in range(1, total_steps + 1):
+        rr, vv, aa, e, kin, du, ddu = verlet_step(rr, vv, aa, dt, L, rc, volume)
+        if step > warmup_steps and step % interval == 0:
+            temp = 2.0 * kin / (3.0 * n)          # md_means.f90:221 (3N!)
+            w = -du                               # :365-366
+            press = rho * temp + w / (3.0 * volume)
+            kinv = 1.0 / kin
+            x = np.array([e, kin, e + kin, temp, press, kinv, du, ddu,
+                          du * kinv, du * du * kinv, ddu * kinv])
+            sums += x
+            sums2 += x * x
+            count += 1
+            for key, val in zip(series, (e, kin, e + kin, temp, press)):
+                series[key].append(val)
+
+    means = sums / count
+    stds = np.sqrt(np.maximum(sums2 / count - means * means, 0.0))
+
+    corr = {}
+    corr_norm = {}
+    corr_mean = {}
+    corr_mean_norm = {}
+    n_blocks = min(n_blocks_cap, count // (max_lag + 1))
+    block_len = count // n_blocks
+    for key, vals in series.items():
+        a = np.asarray(vals)
+        c = _acf_centered(a, max_lag)
+        corr[key] = c.tolist()
+        corr_norm[key] = _norm_corr(c).tolist()
+        cb = np.zeros(max_lag + 1)
+        cnb = np.zeros(max_lag + 1)
+        for b in range(n_blocks):
+            blk = a[b * block_len:(b + 1) * block_len]
+            cblk = _acf_centered(blk, max_lag)
+            cb += cblk
+            cnb += _norm_corr(cblk)
+        corr_mean[key] = (cb / n_blocks).tolist()
+        corr_mean_norm[key] = (cnb / n_blocks).tolist()
+
+    m = dict(zip(obs_names, means))
+    thermo = _thermo(n, volume, m["ekin"], m["press"], m["ekin_inv"],
+                     m["d_epot"], m["dd_epot"], m["d_epot_ekin_inv"],
+                     m["d_epot2_ekin_inv"])
+
+    return {
+        "num_cells": num_cells,
+        "box_length": L,
+        "rc_over_box": rc_over_L,
+        "target_total_energy": e_target,
+        "dt": dt,
+        "total_steps": total_steps,
+        "warmup_steps": warmup_steps,
+        "output_interval": interval,
+        "corr_max_lag": max_lag,
+        "corr_n_blocks": n_blocks,
+        "n": n,
+        "n_samples": count,
+        "ekin_after_rescale": ekin_new,
+        "observables": obs_names,
+        "means": means.tolist(),
+        "stds": stds.tolist(),
+        "series": {k: list(map(float, v)) for k, v in series.items()},
+        "corr": corr,
+        "corr_norm": corr_norm,
+        "corr_mean": corr_mean,
+        "corr_mean_norm": corr_mean_norm,
+        "thermo": thermo,
+    }
+
+
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
+    driver = make_driver_case(
+        num_cells=2, L=4.2, rc_over_L=0.45, e_target=-60.0, dt=0.002,
+        total_steps=300, warmup_steps=10, interval=2,
+        max_lag=20, n_blocks_cap=5,
+    )
+    path = os.path.join(here, "golden_driver_k2.json")
+    with open(path, "w") as f:
+        json.dump(driver, f, indent=1)
+    print("wrote", path, "n_samples=", driver["n_samples"],
+          "mean_etot=", driver["means"][2])
     cases = [
         # (num_cells, L, rc/L, E_target, n_verlet, dt)
         (2, 4.2, 0.45, -60.0, 5, 0.002),   # N=32, dense liquid-ish box

@@ -106,7 +106,7 @@ def test_zsort_engine_matches_rows_engine():
 
     cfg = config_from_density(
         num_cells=6, density=0.8, dt=0.004, dtype="float64",
-        total_steps=10, warmup_steps=50, target_total_energy=-4000.0,
+        total_steps=10, warmup_steps=30, target_total_energy=-4000.0,
     )
     state = initialize(cfg, backend="dense")
     ez = _zsort_engine(cfg, interpret=True, inner_chunk=8)
@@ -152,7 +152,7 @@ def test_zsort_engine_vmap_matches_replica_loop():
         noise = 1e-3 * jax.random.normal(key, base.v.shape, base.v.dtype)
         st = MDState(r=base.r, ru=base.ru, v=base.v + noise, a=base.a)
         c, ob = ez.init(st)
-        c = ez.run_fast(c, 16)
+        c = ez.run_fast(c, 12)  # crosses the inner_chunk=8 resort boundary
         _, ob2 = ez.step(c)
         s = ez.get_state(c)
         return s.r, s.v, ob.epot, ob2.epot
@@ -247,9 +247,9 @@ def test_zsort_production_driver():
     from ljmd_tpu.models.simulation import run_production
 
     cfg = config_from_density(
-        num_cells=6, density=0.8, dt=0.003, dtype="float64",
+        num_cells=5, density=0.8, dt=0.003, dtype="float64",
         total_steps=20, output_interval=5, warmup_steps=10,
-        target_total_energy=-4000.0,
+        target_total_energy=-2300.0,
     )
     state = initialize(cfg, backend="dense")
     want = run_production(cfg, state, backend="dense")
@@ -371,9 +371,9 @@ def test_zsort_frames_particle_order():
     from ljmd_tpu.models.simulation import run_production
 
     cfg = config_from_density(
-        num_cells=6, density=0.8, dt=0.003, dtype="float64",
+        num_cells=5, density=0.8, dt=0.003, dtype="float64",
         total_steps=10, output_interval=5, warmup_steps=0,
-        target_total_energy=-4000.0,
+        target_total_energy=-2300.0,
     )
     state = initialize(cfg, backend="dense")
     want = run_production(cfg, state, backend="dense", record_frames=True)
@@ -448,12 +448,15 @@ def test_run_sample_matches_run_fast_plus_step(extended):
     """run_sample(n) == run_fast(n-1) + step: same trajectory (to rounding;
     the final Verlet runs in-kernel instead of the per-step jnp path) and
     the fused final-step observables match the per-step grid sweep's
-    (f64 interpret: summation order is the only difference)."""
+    (f64 interpret: summation order is the only difference). N=500 is
+    enough: the split/remainder handling and the in-kernel final Verlet do
+    not depend on tile skipping (pinned at N=864 by
+    test_zsort_engine_matches_rows_engine)."""
     from ljmd_tpu.models.engine import _zsort_engine
 
     cfg = config_from_density(
-        num_cells=6, density=0.8, dt=0.004, dtype="float64",
-        total_steps=10, warmup_steps=50, target_total_energy=-4000.0,
+        num_cells=5, density=0.8, dt=0.004, dtype="float64",
+        total_steps=10, warmup_steps=30, target_total_energy=-2300.0,
     )
     state = initialize(cfg, backend="dense")
     eng = _zsort_engine(cfg, interpret=True, inner_chunk=8,

@@ -523,15 +523,16 @@ def test_spatial_engine_run_fast_matches_per_step():
     cfg = small_cfg()
     state = initialize(cfg, backend="dense")
     # 4 devices (N=32 must divide the shard count) keeps the multi-hop
-    # ring; 5 steps bounds the 1-core host's per-dispatch rendezvous bill
+    # ring incl. the gated half hop (comm defaults to half_ring — the
+    # production path); 3 steps bound the 1-core host's rendezvous bill
     mesh = Mesh(np.array(jax.devices()[:4]), (PARTICLE_AXIS,))
-    eng = make_spatial_engine(cfg, mesh, comm="ring")
+    eng = make_spatial_engine(cfg, mesh)
 
     c1, _ = eng.init(state)
     c2, _ = eng.init(state)
-    c1 = jax.jit(lambda c: eng.run_fast(c, 5))(c1)
+    c1 = jax.jit(lambda c: eng.run_fast(c, 3))(c1)
     stepj = jax.jit(eng.step)
-    for _ in range(5):
+    for _ in range(3):
         c2, _ = stepj(c2)
     s1, s2 = eng.get_state(c1), eng.get_state(c2)
     for f in ("r", "ru", "v", "a"):

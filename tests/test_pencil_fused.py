@@ -279,10 +279,11 @@ def test_width_lists_engine_matches_per_step(compensated):
     assert eng.run_fast is not None
     step1 = jax.jit(lambda c: eng.step_fast(c)[0])
     c0, _ = eng.init(_liquid_state(cfg, 1.2))
-    for _ in range(12):
+    for _ in range(6):
         c0 = step1(c0)
 
-    n_steps = 17
+    # 9 = one full inner chunk (8, rebin at its head) + remainder chunk
+    n_steps = 9
     ca = c0
     for _ in range(n_steps):
         ca = step1(ca)
