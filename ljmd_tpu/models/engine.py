@@ -1527,7 +1527,13 @@ def _cellpair_engine(
         return lax.cond(will_exceed, _rebin_carry, lambda cc: cc, c)
 
     if inner_chunk is None:
-        inner_chunk = 8
+        # Unfused big-N chunks: 12 steps between rebins (exp_r5_rebin
+        # 2026-08-20, v5e): the geometric-xy slack covers 12-step drift at
+        # 1.53x margin (131k: 3.373e7 clean vs 3.246e7 at ck=8; ck=16's
+        # 3.438e7 TRIPS the sticky drift flag — margin 1.15x, tail crosses
+        # it). The fused path keeps 8 (its chunk is also the kernel's
+        # in-VMEM step loop; Mosaic compile scales with the trip count).
+        inner_chunk = 8 if use_fused else 12
 
     def _run_chunk_kernel(c: PencilCarry, k: int):
         ext = dict(r_lo=c.rc, vc=c.vc) if compensated else {}
