@@ -161,7 +161,7 @@ def _lj_tri_kernel(
     pos_i_ref,  # (8, TI)
     pos_j_ref,  # (8, TJ)
     out1_ref,   # (8, TI): i-side accumulator (forces + e/du/ddu rows)
-    out2_ref,   # (1, 8, TJ): j-side force partials for THIS (i, j) program
+    out2_ref,   # (8, n_pad): whole-array j-side reaction accumulator
     *,
     box_length: float,
     inv_box_length: float,
@@ -173,9 +173,13 @@ def _lj_tri_kernel(
     approx_reciprocal: bool = False,
 ):
     """Triangular variant: each unordered pair is evaluated ONCE (mask
-    gj > gi); the reaction forces go to a per-(i,j) j-side buffer reduced
-    outside the kernel (Newton's 3rd law at tile granularity). Tiles wholly
-    below the diagonal are skipped."""
+    gj > gi); reaction forces accumulate into a VMEM-RESIDENT whole-array
+    j-side buffer (constant index map — one (8, n_pad) block alive across
+    the whole grid, written to HBM once at the end) at lane offset
+    j*tile_j (program-id-affine 128-multiple, legal for Mosaic). This
+    replaced the round-4 (grid_i, 8, n_pad) per-i-tile HBM buffer + XLA
+    reduction (exp_r5_tri_tj): grid_i x fewer reaction bytes to HBM and no
+    reduce pass. Tiles wholly below the diagonal are skipped."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -183,12 +187,12 @@ def _lj_tri_kernel(
     def _init():
         out1_ref[:, :] = jnp.zeros_like(out1_ref)
 
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init2():
+        out2_ref[:, :] = jnp.zeros_like(out2_ref)
+
     # Tile contains some pair with gj > gi iff its max gj > its min gi.
     compute = (j + 1) * tile_j - 1 > i * tile_i
-
-    @pl.when(jnp.logical_not(compute))
-    def _skip():
-        out2_ref[0, :, :] = jnp.zeros_like(out2_ref[0])
 
     @pl.when(compute)
     def _tile():
@@ -225,11 +229,12 @@ def _lj_tri_kernel(
             out1_ref[3, :] += jnp.sum(e, axis=1)
             out1_ref[4, :] += jnp.sum(du, axis=1)
             out1_ref[5, :] += jnp.sum(ddu, axis=1)
-        # Reaction on b: -sum_a f_ab (column sums).
-        out2_ref[0, 0, :] = -jnp.sum(fx, axis=0)
-        out2_ref[0, 1, :] = -jnp.sum(fy, axis=0)
-        out2_ref[0, 2, :] = -jnp.sum(fz, axis=0)
-        out2_ref[0, 3:8, :] = jnp.zeros_like(out2_ref[0, 3:8, :])
+        # Reaction on b: -sum_a f_ab (column sums), accumulated in place in
+        # the resident buffer (rows 3..7 stay zero from _init2).
+        js = pl.ds(j * tile_j, tile_j)
+        out2_ref[0, js] += -jnp.sum(fx, axis=0)
+        out2_ref[1, js] += -jnp.sum(fy, axis=0)
+        out2_ref[2, js] += -jnp.sum(fz, axis=0)
 
 
 def pallas_pair_sweep_tri(
@@ -274,20 +279,23 @@ def pallas_pair_sweep_tri(
         ],
         out_specs=[
             pl.BlockSpec((8, tile_i), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, tile_j), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            # Whole-array resident reaction accumulator: constant index map
+            # keeps ONE (8, n_pad) block in VMEM for the entire grid (128 KB
+            # at n_pad=4096) — no per-i-tile HBM buffer, no XLA reduce.
+            pl.BlockSpec((8, n_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((8, n_pad), pos.dtype),
-            jax.ShapeDtypeStruct((grid[0], 8, n_pad), pos.dtype),
+            jax.ShapeDtypeStruct((8, n_pad), pos.dtype),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=int(24 * n_pad * n_pad),
-            bytes_accessed=int(4 * 8 * n_pad * (grid[0] + grid[1] + 1 + grid[0])),
+            bytes_accessed=int(4 * 8 * n_pad * (grid[0] + grid[1] + 2)),
             transcendentals=0,
         ),
     )(pos, pos)
-    return out1 + jnp.sum(out2, axis=0)
+    return out1 + out2
 
 
 def _lj_rect_kernel(
@@ -430,7 +438,7 @@ def _lj_rect_newton_kernel(
     pos_i_ref,  # (8, TI) VMEM
     pos_j_ref,  # (8, TJ) VMEM
     out_i_ref,  # (8, TI) VMEM accumulator (forces + e/du/ddu rows)
-    out_j_ref,  # (1, 8, TJ): j-side reaction partials for THIS (i, j) program
+    out_j_ref,  # (8, nj_pad): whole-array resident j-side reaction accumulator
     *,
     box_length: float,
     inv_box_length: float,
@@ -445,7 +453,8 @@ def _lj_rect_newton_kernel(
     """Pair-ONCE rectangular sweep with Newton's-3rd-law j reactions: each
     (i, j) pair in the active range [i_lo, n_i) x [0, j_hi) is evaluated once;
     i-side partials accumulate like the rect kernel, j-side reaction forces
-    go to a per-i-tile buffer reduced outside (the tri kernel's scheme).
+    accumulate into a VMEM-resident whole-array buffer (the tri kernel's
+    constant-index-map scheme — one HBM write at grid end, no XLA reduce).
 
     The (i_lo, j_hi) range bounds implement the half-ring force decomposition's
     GATED shared hop (even d, ring distance d/2): the two devices holding a
@@ -461,13 +470,13 @@ def _lj_rect_newton_kernel(
     def _init():
         out_i_ref[:, :] = jnp.zeros_like(out_i_ref)
 
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init2():
+        out_j_ref[:, :] = jnp.zeros_like(out_j_ref)
+
     i_lo = ilo_ref[0]
     j_hi = jhi_ref[0]
     compute = jnp.logical_and((i + 1) * tile_i - 1 >= i_lo, j * tile_j < j_hi)
-
-    @pl.when(jnp.logical_not(compute))
-    def _skip():
-        out_j_ref[0, :, :] = jnp.zeros_like(out_j_ref[0])
 
     @pl.when(compute)
     def _tile():
@@ -513,11 +522,12 @@ def _lj_rect_newton_kernel(
             out_i_ref[3, :] += jnp.sum(e, axis=1)
             out_i_ref[4, :] += jnp.sum(du, axis=1)
             out_i_ref[5, :] += jnp.sum(ddu, axis=1)
-        # Reaction on j: -sum_i f_ij (column sums).
-        out_j_ref[0, 0, :] = -jnp.sum(fx, axis=0)
-        out_j_ref[0, 1, :] = -jnp.sum(fy, axis=0)
-        out_j_ref[0, 2, :] = -jnp.sum(fz, axis=0)
-        out_j_ref[0, 3:8, :] = jnp.zeros_like(out_j_ref[0, 3:8, :])
+        # Reaction on j: -sum_i f_ij (column sums), accumulated in place
+        # (rows 3..7 stay zero from _init2).
+        js = pl.ds(j * tile_j, tile_j)
+        out_j_ref[0, js] += -jnp.sum(fx, axis=0)
+        out_j_ref[1, js] += -jnp.sum(fy, axis=0)
+        out_j_ref[2, js] += -jnp.sum(fz, axis=0)
 
 
 def pallas_pair_sweep_rect_newton(
@@ -577,7 +587,8 @@ def pallas_pair_sweep_rect_newton(
         ],
         out_specs=[
             pl.BlockSpec((8, tile_i), lambda i, j, *_: (0, i)),
-            pl.BlockSpec((1, 8, tile_j), lambda i, j, *_: (i, 0, j)),
+            # Whole-array resident reaction accumulator (see _lj_tri_kernel).
+            pl.BlockSpec((8, nj_pad), lambda i, j, *_: (0, 0)),
         ],
     )
     out_i, out_j = pl.pallas_call(
@@ -585,13 +596,13 @@ def pallas_pair_sweep_rect_newton(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((8, ni_pad), pos_i.dtype),
-            jax.ShapeDtypeStruct((grid[0], 8, nj_pad), pos_i.dtype),
+            jax.ShapeDtypeStruct((8, nj_pad), pos_i.dtype),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=int(24 * ni_pad * nj_pad),
             bytes_accessed=int(
-                4 * 8 * (ni_pad * (grid[1] + 1) + nj_pad * grid[0] * 2)
+                4 * 8 * (ni_pad * (grid[1] + 1) + nj_pad * (grid[0] + 1))
             ),
             transcendentals=0,
         ),
@@ -603,7 +614,7 @@ def pallas_pair_sweep_rect_newton(
         pos_i,
         pos_j,
     )
-    return out_i, jnp.sum(out_j, axis=0)
+    return out_i, out_j
 
 
 @functools.partial(

@@ -302,8 +302,12 @@ def _half_ring_partials(
 
         tile_i = 128
         ni_pad = _round_up(ni, 128)
+        # Largest 128-multiple divisor of ni_pad <= 512: with the resident
+        # j-side reaction accumulator, TJ=512 measured fastest for the tri
+        # self block (exp_r5_resident_acc 2026-08-20: 166.9 us/sweep at
+        # n_pad=4096 vs 176.1 at TJ=1024, 198.7 at 256).
         tile_j = max(
-            t for t in range(128, min(1024, ni_pad) + 1, 128) if ni_pad % t == 0
+            t for t in range(128, min(512, ni_pad) + 1, 128) if ni_pad % t == 0
         )
         pos_local = jnp.zeros((8, ni_pad), dtype).at[0:3, :ni].set(r_local.T)
         # Triangular self block (pair-once, reactions folded in-kernel).
