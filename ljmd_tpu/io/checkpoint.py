@@ -45,6 +45,14 @@ class Checkpoint:
     # fetched so far (host float64, shape (5, n_done)) and the resume point.
     series: Optional[np.ndarray] = None
     sample_idx: int = 0
+    # Engine-carry leaves (ordered as jax.tree.leaves of the engine carry).
+    # Needed for BIT-exact resume of binned engines: their mid-run rebin
+    # order is history-dependent (the unstable pencil sort keys on the
+    # previous slot index), so re-initializing from the particle-order
+    # MDState produces a different within-pencil rank order and hence a
+    # different f32 summation order (found by the round-5 N=62500
+    # kill-and-resume demo on TPU: resumed means differed at ~5e-7).
+    carry_leaves: Optional[list] = None
 
 
 def save_checkpoint(
@@ -55,11 +63,13 @@ def save_checkpoint(
     means: Optional[MeansAccum] = None,
     series: Optional[np.ndarray] = None,
     sample_idx: Optional[int] = None,
+    carry_leaves: Optional[list] = None,
 ) -> None:
     """Single checkpoint codec for every driver (mid-production resume —
     absent in the reference, SURVEY §5.4). ``series``/``sample_idx`` are the
     streaming driver's chunk-resume extras; ``key`` the RNG state when the
-    caller owns one."""
+    caller owns one; ``carry_leaves`` the flattened engine carry for
+    bit-exact resume (loaders fall back to the MDState when absent)."""
     arrays = {
         "r": np.asarray(state.r),
         "ru": np.asarray(state.ru),
@@ -77,6 +87,10 @@ def save_checkpoint(
         arrays["series"] = np.asarray(series, dtype=np.float64)
     if sample_idx is not None:
         arrays["sample_idx"] = np.asarray(sample_idx, dtype=np.int64)
+    if carry_leaves is not None:
+        arrays["carry_n"] = np.asarray(len(carry_leaves), dtype=np.int64)
+        for i, leaf in enumerate(carry_leaves):
+            arrays[f"carry_{i}"] = np.asarray(leaf)
     np.savez(path, **arrays)
 
 
@@ -110,9 +124,12 @@ def load_checkpoint(path: str, dtype=None) -> Checkpoint:
             count = int(z["means_count"])
         series = z["series"].copy() if "series" in z else None
         sample_idx = int(z["sample_idx"]) if "sample_idx" in z else 0
+        carry_leaves = None
+        if "carry_n" in z:
+            carry_leaves = [z[f"carry_{i}"].copy() for i in range(int(z["carry_n"]))]
     return Checkpoint(
         state=state, step=step, key=key, means=means, sample_count=count,
-        series=series, sample_idx=sample_idx,
+        series=series, sample_idx=sample_idx, carry_leaves=carry_leaves,
     )
 
 

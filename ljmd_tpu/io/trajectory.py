@@ -20,6 +20,27 @@ from ljmd_tpu.io.fortran_records import _HEADER_FMT, _xyz_to_record, write_recor
 __all__ = ["AsyncTrajectoryWriter", "TrajectoryWriter"]
 
 
+def _truncate_to_frames(path: str, n: int, frames_present: int) -> None:
+    """Cut an rva.dat to header + ``frames_present`` whole frames. A crash
+    between a checkpoint and a later chunk's (possibly in-flight) frame
+    write leaves the file longer than the checkpoint's frame count — or
+    torn mid-record; resume must drop those bytes or the appended frames
+    land after garbage. Record layout per frame: 4 records (r, ru, v, a) of
+    4-byte marker + 3n float64 + 4-byte marker."""
+    header_bytes = 4 + struct.calcsize(_HEADER_FMT) + 4
+    frame_bytes = 4 * (4 + 24 * n + 4)
+    want = header_bytes + frames_present * frame_bytes
+    have = os.path.getsize(path)
+    if have < want:
+        raise ValueError(
+            f"rva.dat at {path} holds {have} bytes but the checkpoint claims "
+            f"{frames_present} frames ({want} bytes) — the file cannot be "
+            "resumed (was it written without the pre-checkpoint sync fence?)"
+        )
+    if have > want:
+        os.truncate(path, want)
+
+
 class TrajectoryWriter:
     """Append-oriented rva.dat writer.
 
@@ -65,6 +86,13 @@ class TrajectoryWriter:
     def frames_written(self) -> int:
         return self._frames_written
 
+    def sync(self) -> None:
+        """Crash-consistency fence: frames flushed AND fsynced. The streaming
+        driver calls this before each checkpoint so the checkpoint never
+        claims more frames than the file durably holds."""
+        self._f.flush()
+        os.fsync(self._f.fileno())
+
     @classmethod
     def open_for_append(
         cls,
@@ -77,8 +105,13 @@ class TrajectoryWriter:
     ) -> "TrajectoryWriter":
         """Reopen an existing (partially written) rva.dat to append more
         frames — the resume path of the streaming driver. The caller supplies
-        the number of frames already on disk (from its checkpoint);
+        the number of frames already on disk (from its checkpoint); the file
+        is TRUNCATED to exactly that many frames first (a kill during a later
+        chunk's write can leave extra or partial frame records past the
+        checkpointed count — found by the round-5 N=62500 kill-and-resume
+        demo on TPU, where the resumed rva.dat carried a torn frame);
         ``close()`` patches the header with the final total as usual."""
+        _truncate_to_frames(path, n, frames_present)
         self = cls.__new__(cls)
         self.path = path
         self.n = n
@@ -126,6 +159,7 @@ class AsyncTrajectoryWriter:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self.path = path
         self.n = n
+        self._meta = (float(box_length), float(dt), int(output_interval))
         self._frames_written = 0
         self._handle = native.async_writer_open(
             path, n, box_length, dt, output_interval, n_snapshots_expected
@@ -141,9 +175,11 @@ class AsyncTrajectoryWriter:
                         frames_present) -> "AsyncTrajectoryWriter":
         from ljmd_tpu.utils import native
 
+        _truncate_to_frames(path, n, frames_present)
         self = cls.__new__(cls)
         self.path = path
         self.n = n
+        self._meta = (float(box_length), float(dt), int(output_interval))
         self._frames_written = frames_present
         self._handle = native.async_writer_open(
             path, n, box_length, dt, output_interval, 0,
@@ -155,6 +191,26 @@ class AsyncTrajectoryWriter:
                 path, n, box_length, dt, output_interval, frames_present
             )
         return self
+
+    def sync(self) -> None:
+        """Crash-consistency fence (see TrajectoryWriter.sync): drain the
+        native queue, fflush, fsync. Falls back to a full close/reopen when
+        an old .so without ljmd_rva_async_sync is loaded."""
+        from ljmd_tpu.utils import native
+
+        if self._fallback is not None:
+            self._fallback.sync()
+            return
+        try:
+            native.async_writer_sync(self._handle)
+        except RuntimeError:
+            # pre-round-5 .so: close (which drains) and reopen for append
+            box_length, dt, output_interval = self._meta
+            native.async_writer_close(self._handle)
+            self._handle = native.async_writer_open(
+                self.path, self.n, box_length, dt, output_interval, 0,
+                append=True, frames_present=self._frames_written,
+            )
 
     def append(self, r, ru, v, a) -> None:
         from ljmd_tpu.utils import native

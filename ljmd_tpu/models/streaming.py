@@ -6,10 +6,12 @@ for small/medium runs. This driver targets long trajectories and large N
 500k-step run restarts from rv_init; and §5.7: frames must stream, not
 accumulate): the sample loop is split into jitted chunks; after each chunk
 the sampled series/frames are fetched to host, frames append to an rva.dat
-via TrajectoryWriter, and a full checkpoint (state + RNG-free carry + means
-accumulator + series so far + sample index) lands on disk. A restarted run
-picks up from the last checkpoint bit-exactly (same chunk boundaries =>
-identical scan structure).
+via TrajectoryWriter, and a full checkpoint (state + the FLATTENED ENGINE
+CARRY + means accumulator + series so far + sample index) lands on disk. A
+restarted run picks up from the last checkpoint bit-exactly (same chunk
+boundaries => identical scan structure; the carry restores verbatim, which
+matters for binned engines whose mid-run rebin order is history-dependent —
+see io/checkpoint.Checkpoint.carry_leaves).
 
 Statistics finalization (correlations, block means, thermo) reuses the same
 post-processing as the in-memory driver.
@@ -47,10 +49,12 @@ def _checkpoint_path(out_dir: str) -> str:
     return os.path.join(out_dir, "production_checkpoint.npz")
 
 
-def _save(out_dir, state: MDState, acc: MeansAccum, series_done: np.ndarray, sample_idx: int):
+def _save(out_dir, state: MDState, acc: MeansAccum, series_done: np.ndarray,
+          sample_idx: int, ecarry=None):
     save_checkpoint(
         _checkpoint_path(out_dir), state, step=0, means=acc,
         series=series_done, sample_idx=sample_idx,
+        carry_leaves=None if ecarry is None else jax.tree.leaves(ecarry),
     )
 
 
@@ -59,7 +63,37 @@ def _load(out_dir, dtype):
     if not os.path.exists(path):
         return None
     ck = load_checkpoint(path, dtype=dtype)
-    return ck.state, ck.means, ck.series, ck.sample_idx
+    return ck.state, ck.means, ck.series, ck.sample_idx, ck.carry_leaves
+
+
+def _restore_carry(engine, state: MDState, carry_leaves):
+    """Rebuild the engine carry for resume.
+
+    With saved carry leaves (round-5 format) the carry is restored VERBATIM
+    — bit-exact continuation for every engine, including the binned ones
+    whose mid-run rebin order is history-dependent (the unstable pencil
+    sort keys on the previous slot index, so ``engine.init`` from the
+    particle-order MDState yields a different within-pencil rank order and
+    a different f32 summation order), and including sticky diagnostic
+    flags, which the state-based fallback silently resets. Falls back to
+    ``engine.init(state)`` for pre-round-5 checkpoints."""
+    template, _ = engine.init(state)
+    if carry_leaves is None:
+        return template
+    t_leaves, treedef = jax.tree.flatten(template)
+    if len(carry_leaves) != len(t_leaves) or any(
+        tuple(c.shape) != tuple(np.shape(t)) for c, t in zip(carry_leaves, t_leaves)
+    ):
+        # config/engine mismatch (e.g. different backend than the writer):
+        # the MDState fallback is still a correct, just not bit-exact, resume
+        return template
+    return jax.tree.unflatten(
+        treedef,
+        [
+            jax.device_put(np.asarray(c, dtype=t.dtype), t.sharding)
+            for c, t in zip(carry_leaves, t_leaves)
+        ],
+    )
 
 
 def run_production_streaming(
@@ -88,8 +122,8 @@ def run_production_streaming(
 
     resumed = _load(out_dir, dtype) if resume else None
     if resumed is not None:
-        state, acc, series_done, start_sample = resumed
-        ecarry, _ = engine.init(state)
+        state, acc, series_done, start_sample, carry_leaves = resumed
+        ecarry = _restore_carry(engine, state, carry_leaves)
     else:
         start_sample = 0
         acc = means_init(dtype=dtype)
@@ -146,8 +180,16 @@ def run_production_streaming(
             series_done = np.concatenate([series_done, series_np], axis=1)
             if writer is not None:
                 writer.append(*[np.asarray(f) for f in frames])
+                # Crash-consistency fence BEFORE the checkpoint: the async
+                # writer enqueues and returns, so without this a kill after
+                # _save could leave rva.dat with fewer (or torn) frames than
+                # the checkpoint's sample index — an unresumable file. With
+                # the fence, disk frames >= checkpoint frames always, and
+                # open_for_append truncates any post-checkpoint extras.
+                writer.sync()
             sample_idx += k
-            _save(out_dir, engine.get_state(ecarry), acc, series_done, sample_idx)
+            _save(out_dir, engine.get_state(ecarry), acc, series_done,
+                  sample_idx, ecarry=ecarry)
     finally:
         if writer is not None:
             writer.close()

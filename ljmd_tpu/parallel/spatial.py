@@ -173,6 +173,7 @@ def _ring_partials(
     rc_square: float,
     use_pallas: bool,
     interpret: bool,
+    want_obs: bool = True,
 ):
     """Ring-pass j-block pair sweep (SURVEY §5.8/§7 design): instead of
     replicating all positions per device (``all_gather``, O(N) memory per
@@ -219,6 +220,7 @@ def _ring_partials(
                 pos_i, pos_j, ni, ni, gi0, gj0,
                 box_length, rc_square,
                 tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+                want_observables=want_obs, approx_reciprocal=True,
             )
             if s + 1 < n_shards:
                 pos_j = lax.ppermute(pos_j, axis, perm)
@@ -252,6 +254,7 @@ def _half_ring_partials(
     rc_square: float,
     use_pallas: bool,
     interpret: bool,
+    want_obs: bool = True,
 ):
     """PAIR-ONCE half-ring force decomposition (VERDICT round-4 item 2,
     classic force-decomposition MD): the full ring computed every ordered
@@ -311,9 +314,16 @@ def _half_ring_partials(
         )
         pos_local = jnp.zeros((8, ni_pad), dtype).at[0:3, :ni].set(r_local.T)
         # Triangular self block (pair-once, reactions folded in-kernel).
+        # want_observables=False on non-sampled steps drops the e/du/ddu
+        # rows INSIDE the kernel (XLA cannot DCE into an opaque pallas_call
+        # — round-5 find: the half-ring self sweep paid the full obs body
+        # plus exact divides every step while the single-chip rows engine's
+        # step_fast sweep did neither; that kernel-flag mismatch, not shard
+        # glue, was most of the mesh=1 165-vs-118 us gap).
         acc = pallas_pair_sweep_tri(
             pos_local, ni, box_length, rc_square,
             tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+            want_observables=want_obs, approx_reciprocal=True,
         )
         pos_j = pos_local
         facc = jnp.zeros((8, ni_pad), dtype)
@@ -326,6 +336,7 @@ def _half_ring_partials(
                 pos_local, pos_j, ni, ni, gi0, gj0, box_length, rc_square,
                 i_lo=i_lo, j_hi=j_hi, tile_i=tile_i, tile_j=tile_j,
                 interpret=interpret,
+                want_observables=want_obs, approx_reciprocal=True,
             )
             acc = acc + out_i
             facc = facc + out_j
@@ -403,15 +414,17 @@ def _make_local_step(
         else (0.0, 0.0, 0.0)
     )
 
-    def local_force(r_local):
+    def local_force(r_local, want_obs: bool = True):
         pair_once = comm == "half_ring"
         if comm == "half_ring":
             a_raw, e, du, ddu = _half_ring_partials(
-                r_local, axis, n_shards, L, cfg.rc_square, use_pallas, interpret
+                r_local, axis, n_shards, L, cfg.rc_square, use_pallas,
+                interpret, want_obs=want_obs,
             )
         elif comm == "ring":
             a_raw, e, du, ddu = _ring_partials(
-                r_local, axis, n_shards, L, cfg.rc_square, use_pallas, interpret
+                r_local, axis, n_shards, L, cfg.rc_square, use_pallas,
+                interpret, want_obs=want_obs,
             )
         elif comm == "all_gather":
             r_all = lax.all_gather(r_local, axis, axis=0, tiled=True)
@@ -419,6 +432,11 @@ def _make_local_step(
             a_raw, e, du, ddu = lj_rect_partials(r_local, r_all, gi0, L, cfg.rc_square)
         else:
             raise ValueError(f"unknown comm {comm!r}")
+        if not want_obs:
+            # fast path (run_fast chunk interiors): the kernels skipped the
+            # e/du/ddu rows; the psums and prefactor math are dead too.
+            zero = jnp.zeros((), dtype)
+            return 24.0 * a_raw, zero, zero, zero
         e = lax.psum(e, axis)
         du = lax.psum(du, axis)
         ddu = lax.psum(ddu, axis)
@@ -457,6 +475,18 @@ def _make_local_step(
             return (new_state, rc, vc), StepObs(
                 epot=epot, ekin=ekin, d_epot=d_epot, dd_epot=dd_epot
             )
+
+        def fast_local(state: MDState, rc: jax.Array, vc: jax.Array):
+            """Obs-free step for run_fast chunk interiors: identical
+            trajectory (the fast/obs coefficient bit-identity contract,
+            tests/test_pair_terms.py), no ekin psum, no obs rows."""
+            r_raw, rc_new = _comp_add(state.r, rc, state.v * dt + state.a * half_dt_sq)
+            r_new = wrap_positions(r_raw, L)
+            v_half, vc_half = _comp_add(state.v, vc, state.a * half_dt)
+            a_new, _e, _du, _ddu = local_force(r_new, want_obs=False)
+            v_new, vc_new = _comp_add(v_half, vc_half, a_new * half_dt)
+            ru_new = state.ru + minimum_image(r_new - state.r, L)
+            return (MDState(r=r_new, ru=ru_new, v=v_new, a=a_new), rc_new, vc_new)
     else:
         def step_local(state: MDState):
             r_new = wrap_positions(state.r + state.v * dt + state.a * half_dt_sq, L)
@@ -476,7 +506,18 @@ def _make_local_step(
             new_state = MDState(r=state.r, ru=state.ru, v=state.v, a=a_new)
             return new_state, StepObs(epot=epot, ekin=ekin, d_epot=d_epot, dd_epot=dd_epot)
 
+        def fast_local(state: MDState):
+            """Obs-free step for run_fast chunk interiors (same trajectory,
+            no obs rows in the kernels, no ekin psum)."""
+            r_new = wrap_positions(state.r + state.v * dt + state.a * half_dt_sq, L)
+            v_half = state.v + state.a * half_dt
+            a_new, _e, _du, _ddu = local_force(r_new, want_obs=False)
+            v_new = v_half + a_new * half_dt
+            ru_new = state.ru + minimum_image(r_new - state.r, L)
+            return MDState(r=r_new, ru=ru_new, v=v_new, a=a_new)
+
     step_local.init_local = init_local
+    step_local.fast_local = fast_local
     step_local.compensated = compensated
     return step_local
 
@@ -609,8 +650,7 @@ def make_spatial_engine(
         if step_local.compensated:
             def chunk_local(carry):
                 def body(c, _):
-                    (st, rc, vc), _obs = step_local(*c)
-                    return (st, rc, vc), None
+                    return step_local.fast_local(*c), None
 
                 c, _ = lax.scan(body, carry, None, length=k)
                 return c
@@ -622,8 +662,7 @@ def make_spatial_engine(
 
         def chunk_local(state):
             def body(st, _):
-                st2, _obs = step_local(st)
-                return st2, None
+                return step_local.fast_local(st), None
 
             st, _ = lax.scan(body, state, None, length=k)
             return st

@@ -24,8 +24,15 @@ _load_failed = False
 
 
 def ensure_built(quiet: bool = True) -> bool:
-    """Compile the library if missing. Returns True when the .so exists."""
-    if os.path.exists(_LIB_PATH):
+    """Compile the library if missing or stale (source newer than the .so —
+    otherwise an edited ljmd_native.cpp would keep serving the old binary,
+    and newly added symbols would be absent). Returns True when the .so
+    exists."""
+    src = os.path.join(_NATIVE_DIR, "ljmd_native.cpp")
+    if os.path.exists(_LIB_PATH) and (
+        not os.path.exists(src)
+        or os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src)
+    ):
         return True
     try:
         subprocess.run(
@@ -42,7 +49,7 @@ def load() -> Optional[ctypes.CDLL]:
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not ensure_built():
+    if not ensure_built():
         _load_failed = True
         return None
     try:
@@ -180,6 +187,9 @@ def async_writer_open(path: str, n: int, box_length: float, dt: float,
         lib.ljmd_rva_async_close.restype = ctypes.c_int
         lib.ljmd_rva_async_frames.argtypes = [ctypes.c_void_p]
         lib.ljmd_rva_async_frames.restype = ctypes.c_int64
+        if hasattr(lib, "ljmd_rva_async_sync"):  # absent in pre-round-5 .so
+            lib.ljmd_rva_async_sync.argtypes = [ctypes.c_void_p]
+            lib.ljmd_rva_async_sync.restype = ctypes.c_int
         lib._async_configured = True
     handle = lib.ljmd_rva_async_open(
         path.encode(), n, float(box_length), float(dt), int(output_interval),
@@ -196,6 +206,19 @@ def async_writer_append(handle, r, ru, v, a) -> None:
     rc = lib.ljmd_rva_async_append(handle, arrs[0].shape[0], *arrs)
     if rc != 0:
         raise RuntimeError(f"ljmd_rva_async_append failed: {rc}")
+
+
+def async_writer_sync(handle) -> None:
+    """Crash-consistency fence: block until every enqueued frame is on disk
+    (drain + fflush + fsync). The streaming driver calls this BEFORE writing
+    each checkpoint so the checkpoint can never claim more frames than
+    rva.dat holds."""
+    lib = load()
+    if not hasattr(lib, "ljmd_rva_async_sync"):  # pre-round-5 .so
+        raise RuntimeError("native library lacks ljmd_rva_async_sync")
+    rc = lib.ljmd_rva_async_sync(handle)
+    if rc != 0:
+        raise RuntimeError(f"ljmd_rva_async_sync failed: {rc}")
 
 
 def async_writer_close(handle) -> None:

@@ -18,6 +18,7 @@
 #include <deque>
 #include <mutex>
 #include <thread>
+#include <unistd.h>  // fsync
 #include <vector>
 
 namespace {
@@ -132,6 +133,7 @@ struct AsyncWriter {
   double box_length = 0, dt = 0;
   int32_t interval = 0;
   int64_t frames_written = 0;
+  int64_t frames_submitted = 0;
   int error = 0;
 
   std::thread worker;
@@ -193,6 +195,7 @@ void *ljmd_rva_async_open(const char *path, int32_t n, double box_length,
     w->f = fopen(path, "r+b");
     if (w->f) fseek(w->f, 0, SEEK_END);
     w->frames_written = frames_present;
+    w->frames_submitted = frames_present;  // sync() compares the two
   } else {
     w->f = fopen(path, "wb");
     if (w->f) {
@@ -233,8 +236,32 @@ int ljmd_rva_async_append(void *handle, int32_t n_frames, const double *r,
     std::lock_guard<std::mutex> lk(w->mu);
     w->queue.push_back(std::move(block));
     w->queue_frames.push_back(n_frames);
+    w->frames_submitted += n_frames;
   }
   w->cv.notify_all();
+  return 0;
+}
+
+// Block until every enqueued frame is formatted AND durably on disk
+// (fflush + fsync), so a checkpoint written after this call can never claim
+// more frames than the file holds — the crash-consistency fence of the
+// streaming driver (a kill between checkpoint and drain previously left
+// rva.dat with fewer/partial frames than the checkpoint's sample index;
+// found by the round-5 N=62500 kill-and-resume demo). Returns the writer's
+// error status (0 = ok).
+int ljmd_rva_async_sync(void *handle) {
+  AsyncWriter *w = (AsyncWriter *)handle;
+  if (!w) return -1;
+  {
+    std::unique_lock<std::mutex> lk(w->mu);
+    w->cv.wait(lk, [&] {
+      return w->error != 0 ||
+             (w->queue.empty() && w->frames_written == w->frames_submitted);
+    });
+    if (w->error) return w->error;
+  }
+  if (fflush(w->f) != 0) return -4;
+  if (fsync(fileno(w->f)) != 0) return -5;
   return 0;
 }
 

@@ -19,13 +19,17 @@ CFG=examples/n62500_large.json
 mkdir -p "$ROOT"
 
 echo "=== leg A: simulate --stream (full) ==="
-/usr/bin/time -v timeout 3000 python -m ljmd_tpu simulate --config $CFG \
+TA0=$(date +%s)
+timeout 3000 python -m ljmd_tpu simulate --config $CFG \
     --stream --out-dir "$ROOT/A" 2>&1 | grep -Ev "^WARNING|jax._src" | tail -30
+echo "leg A wall: $(( $(date +%s) - TA0 )) s"
 ls -l "$ROOT/A/rva.dat" || true
 
 echo "=== leg B: simulate --stream --no-frames ==="
+TB0=$(date +%s)
 timeout 3000 python -m ljmd_tpu simulate --config $CFG \
     --stream --no-frames --out-dir "$ROOT/B" 2>&1 | grep -Ev "^WARNING|jax._src" | tail -5
+echo "leg B wall: $(( $(date +%s) - TB0 )) s"
 
 echo "=== leg C: kill mid-run, then resume ==="
 # No timeout/pipe wrapper: $CPID must be the python process itself so the
@@ -48,6 +52,17 @@ sleep 2
 echo "--- resuming leg C ---"
 timeout 3000 python -m ljmd_tpu simulate --config $CFG \
     --stream --out-dir "$ROOT/C" 2>&1 | grep -Ev "^WARNING|jax._src" | tail -5
+
+echo "=== warm paired re-runs (compile-cache warm; back-to-back for the"
+echo "=== streaming vs --no-frames overhead comparison) ==="
+for leg in A2 B2; do
+  EXTRA=""
+  if [ "$leg" = "B2" ]; then EXTRA="--no-frames"; fi
+  T0=$(date +%s)
+  timeout 3000 python -m ljmd_tpu simulate --config $CFG \
+      --stream $EXTRA --out-dir "$ROOT/$leg" 2>&1 | grep -Ev "^WARNING|jax._src" | tail -3
+  echo "leg $leg wall: $(( $(date +%s) - T0 )) s"
+done
 
 echo "=== bit-exact check: leg C (killed+resumed) vs leg A ==="
 python - "$ROOT" <<'EOF'

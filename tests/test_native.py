@@ -91,3 +91,49 @@ def test_async_writer_matches_sync_writer(tmp_path):
     data = read_rva(p_async)
     assert data.r.shape == (frames, n, 3)
     np.testing.assert_allclose(data.v[3:], blocks[1] + 2)
+
+
+def test_writer_append_truncates_torn_frames(tmp_path):
+    """A kill during a later chunk's write can leave rva.dat with extra or
+    TORN frame records past the checkpointed count (round-5 N=62500
+    kill-and-resume demo: the resumed file carried a partial frame and
+    diverged from the uninterrupted run). open_for_append must truncate to
+    the checkpoint's frame count; a file SHORTER than the checkpoint claims
+    (pre-sync-fence write ordering) must be rejected loudly."""
+    import numpy as np
+    import pytest
+
+    from ljmd_tpu.io.fortran_records import read_rva
+    from ljmd_tpu.io.trajectory import AsyncTrajectoryWriter, TrajectoryWriter
+
+    rng = np.random.default_rng(1)
+    n = 16
+    args = (n, 5.0, 0.001, 4)
+    b1 = rng.normal(size=(2, n, 3))
+    b2 = rng.normal(size=(2, n, 3))
+
+    for cls in (TrajectoryWriter, AsyncTrajectoryWriter):
+        p = str(tmp_path / f"{cls.__name__}.dat")
+        w = cls(p, *args, n_snapshots_expected=4)
+        w.append(b1, b1, b1, b1)
+        if hasattr(w, "sync"):
+            w.sync()
+        w.close()
+        good = open(p, "rb").read()
+        # torn write past the checkpointed 2 frames: half a frame of garbage
+        with open(p, "ab") as f:
+            f.write(b"\x7f" * ((4 + 24 * n + 4) * 2 + 13))
+        w = cls.open_for_append(p, *args, frames_present=2)
+        assert open(p, "rb").read() == good  # extras dropped
+        w.append(b2, b2, b2, b2)
+        w.close()
+        data = read_rva(p)
+        assert data.r.shape == (4, n, 3)
+        np.testing.assert_allclose(data.a[2:], b2)
+
+        # file shorter than the checkpoint claims -> loud failure, not a
+        # silently corrupt resume
+        with open(p, "r+b") as f:
+            f.truncate(100)
+        with pytest.raises(ValueError, match="cannot be resumed"):
+            cls.open_for_append(p, *args, frames_present=2)

@@ -88,6 +88,61 @@ def test_streaming_resume_bit_exact(tmp_path):
     np.testing.assert_allclose(data_part.v, data_full.v, rtol=1e-12)
 
 
+def test_streaming_resume_bit_exact_cellpair(tmp_path):
+    """BINNED-engine resume must restore the engine CARRY verbatim: the
+    mid-run rebin order is history-dependent (the unstable pencil sort keys
+    on the previous slot index), so a state-based re-init yields a different
+    within-pencil rank order and a different summation order. Found by the
+    round-5 N=62500 kill-and-resume demo on TPU (resumed means differed at
+    ~5e-7); this pins EXACT equality with the uninterrupted run."""
+    cfg = config_from_density(
+        num_cells=5, density=0.66, dt=0.002, dtype="float64",
+        neighbor_skin=0.4, total_steps=160, output_interval=10,
+        warmup_steps=20, target_total_energy=-2000.0, seed=7,
+    )
+    state = initialize(cfg, backend="cellpair")
+    full_dir = tmp_path / "full"
+    want = run_production_streaming(
+        cfg, state, str(full_dir), backend="cellpair", chunk_samples=4
+    )
+
+    from ljmd_tpu.models import streaming as S
+
+    part_dir = tmp_path / "part"
+    part_dir.mkdir()
+    calls = {"n": 0}
+    orig_save = S._save
+
+    def crash_after_two(*args, **kw):
+        orig_save(*args, **kw)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt
+
+    S._save = crash_after_two
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            run_production_streaming(
+                cfg, state, str(part_dir), backend="cellpair", chunk_samples=4
+            )
+    finally:
+        S._save = orig_save
+    assert os.path.exists(_checkpoint_path(str(part_dir)))
+
+    got = run_production_streaming(
+        cfg, state, str(part_dir), backend="cellpair", chunk_samples=4,
+        resume=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got.series), np.asarray(want.series))
+    np.testing.assert_array_equal(
+        np.asarray(got.final_state.r), np.asarray(want.final_state.r)
+    )
+    data_part = read_rva(str(part_dir / "rva.dat"))
+    data_full = read_rva(str(full_dir / "rva.dat"))
+    assert data_part.n_snapshots == data_full.n_snapshots
+    np.testing.assert_array_equal(data_part.v, data_full.v)
+
+
 def test_validate_state_catches_problems():
     cfg = small_cfg()
     state = initialize(cfg, backend="dense")
