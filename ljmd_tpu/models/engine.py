@@ -1009,7 +1009,7 @@ def _cellpair_engine(
         compute_z_windows,
         default_z_window,
         make_pencil_grid,
-        rebin_gather,
+        rebin_gather_parts,
     )
     from ljmd_tpu.ops.pallas_pencil import (
         TILE_I,
@@ -1250,7 +1250,7 @@ def _cellpair_engine(
             counts, hs_tbl, hs_shf, grid.n_pencils, grid.capacity
         )
 
-    def _permute_rebin(r8, others, old_of_new, valid_new):
+    def _permute_rebin(r8, others, order, src, valid_new):
         """Gather-form slot permutation. The old scatter form
         (``.at[:, new_slot].set``) pays XLA's scatter lowering, which blows
         up super-linearly on v5e (exp_permute, 2026-08-18: 2.1 ms at
@@ -1260,12 +1260,17 @@ def _cellpair_engine(
         each other array; row 3 (validity) is rebuilt from ``valid_new``
         and rows 5..7 are identically zero throughout the engine.
 
+        The permutation is applied as TWO gathers — sorted order first,
+        then the near-sequential structured ``src`` — instead of one
+        composed ``old_of_new`` gather: cheaper on v5e
+        (exp_r5_rebin_attrib 2026-08-20, see rebin_gather_parts).
+
         Overflow victims (per-pencil rank >= capacity) are simply not
         covered by any target slot — dropped deterministically, with the
-        sticky overflow diagnostic set by ``rebin_gather``."""
+        sticky overflow diagnostic set by ``rebin_gather_parts``."""
         vmask = valid_new.astype(dtype)
         parts = [r8[0:3], r8[4:5]] + [o[0:3] for o in others]
-        stacked = jnp.concatenate(parts, axis=0)[:, old_of_new] * vmask[None, :]
+        stacked = jnp.concatenate(parts, axis=0)[:, order][:, src] * vmask[None, :]
         pad3 = jnp.zeros((3, ns), dtype)
         pad5 = jnp.zeros((5, ns), dtype)
         r8p = jnp.concatenate(
@@ -1402,11 +1407,11 @@ def _cellpair_engine(
                 rc8 = rc8.at[0:3].set(rlo)
             else:
                 r8 = r8.at[0:3].set(wrap_positions(r8[0:3], L))
-            old_of_new, valid_new, overflow = rebin_gather(
+            order, src, valid_new, overflow = rebin_gather_parts(
                 r8, r8[3, :], grid, z_order=z_band
             )
             others = [ru8, v8] + ([rc8, vc8] if compensated else [])
-            r8p, permuted = _permute_rebin(r8, others, old_of_new, valid_new)
+            r8p, permuted = _permute_rebin(r8, others, order, src, valid_new)
             r8p = sentinel_fill(r8p, r8p[3, :], grid.capacity)
             counts_p = _counts_from_valid(r8p[3, :])
             wins_p, w_ovf = _windows(r8p, r8p[3, :], counts_p)
@@ -1482,11 +1487,11 @@ def _cellpair_engine(
         else:
             r8 = c.r.at[0:3].set(wrap_positions(c.r[0:3], L))
             rc8 = c.rc
-        old_of_new, valid_new, b_ovf = rebin_gather(
+        order, src, valid_new, b_ovf = rebin_gather_parts(
             r8, r8[3, :], grid, z_order=z_band
         )
         others = [c.ru, c.v, c.a] + ([rc8, c.vc] if compensated else [])
-        r8p, permuted = _permute_rebin(r8, others, old_of_new, valid_new)
+        r8p, permuted = _permute_rebin(r8, others, order, src, valid_new)
         r8p = sentinel_fill(r8p, r8p[3, :], grid.capacity)
         counts_p = _counts_from_valid(r8p[3, :])
         wins_p, w_ovf = _windows(r8p, r8p[3, :], counts_p)

@@ -34,6 +34,7 @@ __all__ = [
     "bin_to_slots",
     "rebin_slots",
     "rebin_gather",
+    "rebin_gather_parts",
     "default_z_window",
     "compute_z_windows",
 ]
@@ -277,6 +278,81 @@ def rebin_slots(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid,
     return new_slot, overflow
 
 
+def _pencil_counts(pid_key: jax.Array, grid: PencilGrid) -> jax.Array:
+    """Per-pencil population from (clipped-to-n_pencils) pencil keys.
+
+    The obvious ``zeros(P).at[pid].add(1)`` scatter-add costs ~8.6 ns PER
+    INDEX on v5e (3.2 ms at ns=372k — measured 2026-08-20,
+    scripts/exp_r5_rebin_attrib.py; the same per-index cost class as the
+    exp_permute scatter blow-up, and ``indices_are_sorted`` does not help).
+    A broadcast compare-reduce ``sum(pid == arange(P))`` is 40x cheaper
+    (0.08-0.25 ms: ns*P fused VPU compares at ~1e12/s, nothing
+    materialized). The compare form scales as O(ns * n_pencils), so fall
+    back to the scatter when that product gets huge (P ~ N^(2/3), so the
+    crossover is far above any supported N; at ns*P = 2^33 both forms cost
+    ~100 ms)."""
+    ns = pid_key.shape[0]
+    P = grid.n_pencils
+    if ns * P <= (1 << 33):
+        return jnp.sum(
+            (pid_key[None, :] == jnp.arange(P, dtype=jnp.int32)[:, None])
+            .astype(jnp.int32),
+            axis=1,
+        )
+    return jnp.zeros((P,), jnp.int32).at[  # pragma: no cover - N >> 1e6
+        jnp.minimum(pid_key, P - 1)
+    ].add((pid_key < P).astype(jnp.int32))
+
+
+def rebin_gather_parts(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid,
+                       z_order: bool = False):
+    """Split-index form of ``rebin_gather``: returns ``(order, src,
+    valid_new, overflow)`` with ``old_of_new = order[src]``.
+
+    Callers that permute data should apply the TWO gathers in sequence —
+    ``data[:, order][:, src]`` — instead of materializing ``old_of_new``
+    first: the sorted-order gather plus the near-sequential structured
+    ``src`` gather is cheaper than the single composed random gather
+    (measured 2026-08-20, exp_r5_rebin_attrib at ns=372k: composed
+    old_of_new build 2.7 ms + 10-row data gather 1.6 ms, vs double-gather
+    whole-rebin 3.76 ms against 8.18 — with the compare-reduce counts of
+    ``_pencil_counts`` replacing the 3.2 ms scatter-add).
+
+    Same contract and the same v5e-miscompile constraints as
+    ``rebin_gather`` (see its docstring): NO searchsorted, NO @jax.jit.
+    """
+    ns = grid.n_slots
+    cap = grid.capacity
+    pid = _pencil_ids(rows_r[0], rows_r[1], grid)
+    is_valid = valid > 0.5
+    pid_key = jnp.where(is_valid, pid, grid.n_pencils)
+    if z_order:
+        order = jnp.lexsort(
+            (jnp.where(is_valid, rows_r[2], 0.0), pid_key)
+        ).astype(jnp.int32)
+    else:
+        bits = max(1, (ns - 1).bit_length())
+        if (grid.n_pencils << bits) < 2**31:
+            packed = (pid_key << bits) | jnp.arange(ns, dtype=jnp.int32)
+            packed = jax.lax.sort(packed, is_stable=False)
+            order = packed & ((1 << bits) - 1)
+        else:  # pragma: no cover - needs N >> 1e6
+            _, order = jax.lax.sort_key_val(
+                pid_key, jnp.arange(ns, dtype=jnp.int32), is_stable=False
+            )
+    counts = _pencil_counts(pid_key, grid)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    overflow = jnp.any(counts > cap)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    src = jnp.clip(
+        (starts[:, None] + j[None, :]).reshape(ns), 0, ns - 1
+    )
+    valid_new = (j[None, :] < jnp.minimum(counts, cap)[:, None]).reshape(ns)
+    return order, src, valid_new, overflow
+
+
 def rebin_gather(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid,
                  z_order: bool = False):
     """Gather-form rebin: the permutation as ``old slot OF each new slot``.
@@ -308,45 +384,16 @@ def rebin_gather(rows_r: jax.Array, valid: jax.Array, grid: PencilGrid,
     Overflow victims (rank >= capacity) are dropped, same contract as
     ``rebin_slots``; the layout produced is IDENTICAL to the scatter form's
     for the same sort key.
+
+    Perf note: hot callers should use ``rebin_gather_parts`` and the double
+    gather ``data[:, order][:, src]`` — composing ``old_of_new = order[src]``
+    here costs an extra ~2.7 ms random gather at ns=372k (exp_r5_rebin_attrib
+    2026-08-20); this form is kept for tests and one-shot callers.
     """
-    ns = grid.n_slots
-    cap = grid.capacity
-    pid = _pencil_ids(rows_r[0], rows_r[1], grid)
-    is_valid = valid > 0.5
-    pid_key = jnp.where(is_valid, pid, grid.n_pencils)
-    if z_order:
-        order = jnp.lexsort(
-            (jnp.where(is_valid, rows_r[2], 0.0), pid_key)
-        ).astype(jnp.int32)
-        sorted_pid = pid_key[order]
-    else:
-        bits = max(1, (ns - 1).bit_length())
-        if (grid.n_pencils << bits) < 2**31:
-            packed = (pid_key << bits) | jnp.arange(ns, dtype=jnp.int32)
-            packed = jax.lax.sort(packed, is_stable=False)
-            order = packed & ((1 << bits) - 1)
-            sorted_pid = packed >> bits
-        else:  # pragma: no cover - needs N >> 1e6
-            sorted_pid, order = jax.lax.sort_key_val(
-                pid_key, jnp.arange(ns, dtype=jnp.int32), is_stable=False
-            )
-    # Per-pencil counts via segment-add, run starts via exclusive cumsum.
-    # Equivalent to binary-searching the sorted pids (valid particles are
-    # grouped by ascending pid with invalid last), but does NOT use
-    # jnp.searchsorted — see the miscompile note in the docstring.
-    counts = jnp.zeros((grid.n_pencils,), jnp.int32).at[
-        jnp.clip(pid, 0, grid.n_pencils - 1)
-    ].add(is_valid.astype(jnp.int32))
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    order, src, valid_new, overflow = rebin_gather_parts(
+        rows_r, valid, grid, z_order=z_order
     )
-    del sorted_pid  # only the permutation is needed from the sort
-    overflow = jnp.any(counts > cap)
-    j = jnp.arange(cap, dtype=jnp.int32)
-    src = starts[:, None] + j[None, :]
-    valid_new = (j[None, :] < jnp.minimum(counts, cap)[:, None]).reshape(ns)
-    old_of_new = order[jnp.clip(src.reshape(ns), 0, ns - 1)]
-    return old_of_new, valid_new, overflow
+    return order[src], valid_new, overflow
 
 
 def default_z_window(grid: PencilGrid, n: int, r_extend: float, tile_i: int = 128) -> int:

@@ -59,7 +59,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ljmd_tpu.config import SimConfig
 from ljmd_tpu.models.engine import Engine, _comp_add, _effective_dtype
-from ljmd_tpu.ops.cell_list import bin_to_slots, make_pencil_grid, rebin_gather
+from ljmd_tpu.ops.cell_list import (
+    bin_to_slots,
+    make_pencil_grid,
+    rebin_gather_parts,
+)
 from ljmd_tpu.ops.geometry import minimum_image, wrap_positions
 from ljmd_tpu.ops.lj import _pair_terms, tail_corrections
 from ljmd_tpu.ops.pallas_fused import wrap_positions_ext
@@ -375,14 +379,16 @@ def make_sharded_pencil_engine(
             rc8 = rc8.at[0:3].set(rlo)
         else:
             r8 = r8.at[0:3].set(wrap_positions(r8[0:3], L))
-        old_of_new, valid_new, overflow = rebin_gather(
+        order, src, valid_new, overflow = rebin_gather_parts(
             r8, r8[3, :], grid, z_order=False
         )
         vmask = valid_new.astype(dtype)
         parts = [r8[0:3], r8[4:5], ru8[0:3], v8[0:3], a8[0:3]] + (
             [rc8[0:3], vc8[0:3]] if compensated else []
         )
-        stacked = jnp.concatenate(parts, axis=0)[:, old_of_new] * vmask[None, :]
+        # double gather (see rebin_gather_parts): cheaper than composing
+        # old_of_new = order[src] first
+        stacked = jnp.concatenate(parts, axis=0)[:, order][:, src] * vmask[None, :]
         pad3 = jnp.zeros((3, ns), dtype)
         pad5 = jnp.zeros((5, ns), dtype)
         r8p = jnp.concatenate(

@@ -170,7 +170,68 @@ def main():
             print(f"  counts parity {name}: {ok}", flush=True)
             assert ok
 
+        def _sorted_order(rr):
+            pid = _pencil_ids(rr[0], rr[1], grid)
+            pid_key = jnp.where(rr[3] > 0.5, pid, P)
+            packed = (pid_key << bits) | jnp.arange(ns, dtype=jnp.int32)
+            packed = lax.sort(packed, is_stable=False)
+            return pid, packed & ((1 << bits) - 1)
+
+        def full_rebin_optA(rr):
+            """counts via compare-reduce instead of the unsorted scatter-add."""
+            pid, order = _sorted_order(rr)
+            pid_key = jnp.where(rr[3] > 0.5, pid, P)
+            counts = jnp.sum(
+                (pid_key[None, :] == jnp.arange(P, dtype=jnp.int32)[:, None])
+                .astype(jnp.int32),
+                axis=1,
+            )
+            starts = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32),
+                 jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+            )
+            j = jnp.arange(cap, dtype=jnp.int32)
+            src = (starts[:, None] + j[None, :]).reshape(ns)
+            valid_new = (j[None, :] < jnp.minimum(counts, cap)[:, None]).reshape(ns)
+            o = order[jnp.clip(src, 0, ns - 1)]
+            parts = jnp.concatenate(
+                [rr[0:3], rr[4:5], rr[0:3], rr[0:3]], axis=0
+            )
+            return parts[:, o] * valid_new.astype(jnp.float32)[None, :]
+
+        def full_rebin_optB(rr):
+            """optA + double gather: data[:, order][:, src] instead of
+            materializing old_of_new = order[src] first."""
+            pid, order = _sorted_order(rr)
+            pid_key = jnp.where(rr[3] > 0.5, pid, P)
+            counts = jnp.sum(
+                (pid_key[None, :] == jnp.arange(P, dtype=jnp.int32)[:, None])
+                .astype(jnp.int32),
+                axis=1,
+            )
+            starts = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32),
+                 jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+            )
+            j = jnp.arange(cap, dtype=jnp.int32)
+            src = jnp.clip((starts[:, None] + j[None, :]).reshape(ns), 0, ns - 1)
+            valid_new = (j[None, :] < jnp.minimum(counts, cap)[:, None]).reshape(ns)
+            parts = jnp.concatenate(
+                [rr[0:3], rr[4:5], rr[0:3], rr[0:3]], axis=0
+            )
+            return parts[:, order][:, src] * valid_new.astype(jnp.float32)[None, :]
+
+        # bitwise parity of the optimized pipelines vs the current one
+        ref_out = jax.jit(full_rebin)(rows)
+        for name, fn in (("optA", full_rebin_optA), ("optB", full_rebin_optB)):
+            out = jax.jit(fn)(rows)
+            ok = bool(jnp.all(out == ref_out))
+            print(f"  full-rebin parity {name}: {ok}", flush=True)
+            assert ok
+
         time_piece("full rebin (gather-form, 10 rows)", full_rebin, rows, 4, 16)
+        time_piece("full rebin optA (compare counts)", full_rebin_optA, rows, 4, 16)
+        time_piece("full rebin optB (+double gather)", full_rebin_optB, rows, 4, 16)
         t_sort = time_piece("packed unstable sort only", sort_only, rows, 8, 32)
         t_ssc = time_piece("sort + SORTED counts scatter",
                            sort_plus_sorted_counts, rows, 8, 32)

@@ -360,15 +360,18 @@ def test_miscompile_workarounds_stay_in_place():
     """
     from ljmd_tpu.ops import cell_list
 
-    # (a) plain function (no jit wrapper) ...
-    assert type(cell_list.rebin_gather).__name__ == "function", (
-        "rebin_gather must not be wrapped in jax.jit (v5e miscompile guard)"
-    )
-    # ... whose code object never loads the name 'searchsorted' (co_names
-    # lists names the code actually references; the docstring does not count)
-    assert "searchsorted" not in cell_list.rebin_gather.__code__.co_names, (
-        "rebin_gather must stay searchsorted-free (v5e miscompile guard)"
-    )
+    # (a) plain functions (no jit wrapper) ...
+    for fn_name in ("rebin_gather", "rebin_gather_parts", "_pencil_counts"):
+        fn = getattr(cell_list, fn_name)
+        assert type(fn).__name__ == "function", (
+            f"{fn_name} must not be wrapped in jax.jit (v5e miscompile guard)"
+        )
+        # ... whose code object never loads the name 'searchsorted'
+        # (co_names lists names the code actually references; the docstring
+        # does not count)
+        assert "searchsorted" not in fn.__code__.co_names, (
+            f"{fn_name} must stay searchsorted-free (v5e miscompile guard)"
+        )
 
     # (b) exactly one scan — the outer chunk loop — and nothing scanned
     # inside it (inner_chunk=8 in the unfused driver; 16 steps -> length-2
